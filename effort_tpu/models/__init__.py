@@ -1,0 +1,4 @@
+from effort_tpu.models.transformer import (  # noqa: F401
+    ModelWeights, LayerWeights, init_random_weights, forward_token,
+    make_kv_cache)
+from effort_tpu.models.generate import generate, Engine  # noqa: F401

@@ -1,0 +1,220 @@
+"""Transformer forward pass (Mistral / Mixtral family) with effort knob.
+
+TPU-native re-design of the reference inference loop (runNetwork.swift):
+  - the whole decode step is ONE jitted function; layers run under lax.scan
+    (vs ~1,500 individually-encoded kernel launches per token with a blocking
+    eval, runNetwork.swift:90-109 — the documented 15 ms/token overhead).
+  - bucketized projection weights of all layers are PACKED into single
+    BucketedMatrix containers (instance axis = layer*n_experts + expert,
+    generalizing the reference's packed expert buffers, loader.swift:124);
+    the gather kernel indexes blocks by instance offset, so lax.scan never
+    slices (= copies) weight arrays.
+  - GQA is an einsum reshape, not a materialized repeat (cf. repeat4x32,
+    aux.metal:251-260 + xk_temp2 buffers, runNetwork.swift:136-137).
+  - KV cache: [n_layers, max_seq, n_kv_heads, head_dim] bf16, updated with
+    dynamic_update_slice inside the scan carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from effort_tpu.config import ModelConfig, BucketConfig
+from effort_tpu.ops.layouts import BucketedMatrix
+from effort_tpu.ops.bucketize import bucketize
+from effort_tpu.ops.bucketmul import bucket_matvec, dense_matvec
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
+                      "w1", "w2", "w3", "ffn_gate"],
+         meta_fields=[])
+@dataclasses.dataclass
+class LayerWeights:
+    """All layers' weights, layer axis packed inside each container.
+
+    attn_norm/ffn_norm: [L, dim] f32.
+    wq/wk/wv/wo: BucketedMatrix with n_experts == L.
+    w1/w2/w3:    BucketedMatrix with n_experts == L * n_experts(model).
+    ffn_gate:    [L, dim, E] bf16 or None (dense models) —
+                 reference layer.ffnGate (loader.swift:178-227).
+    """
+    attn_norm: jax.Array
+    ffn_norm: jax.Array
+    wq: BucketedMatrix
+    wk: BucketedMatrix
+    wv: BucketedMatrix
+    wo: BucketedMatrix
+    w1: BucketedMatrix
+    w2: BucketedMatrix
+    w3: BucketedMatrix
+    ffn_gate: Optional[jax.Array]
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["tok_embeddings", "norm", "output", "layers"],
+         meta_fields=[])
+@dataclasses.dataclass
+class ModelWeights:
+    tok_embeddings: jax.Array   # [vocab, dim] bf16
+    norm: jax.Array             # [dim] f32
+    output: jax.Array           # [dim, vocab] bf16 (lm head, dense:
+                                #  reference basicMul, runNetwork.swift:209)
+    layers: LayerWeights
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(x * x) + eps)
+    return x * inv * weight
+
+
+def rope_rotate(x: jax.Array, pos, head_dim: int, theta: float) -> jax.Array:
+    """Rotate-half RoPE (HF weight convention; the reference's rope_mx uses
+    the interleaved-pairs convention with theta=1e6 via its logspace table,
+    model.swift:693-717 — equivalent up to the fixed weight permutation HF
+    applies, which our converter keeps)."""
+    x = x.astype(jnp.float32)
+    h = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, h, dtype=jnp.float32) / h)
+    angle = pos.astype(jnp.float32) * freqs              # [h]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    x1, x2 = x[..., :h], x[..., h:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1)
+
+
+def make_kv_cache(cfg: ModelConfig, dtype=jnp.bfloat16):
+    shape = (cfg.n_layers, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig):
+    """q: [n_heads*head_dim]; caches: [T, n_kv, hd]. Returns [n_heads*hd]."""
+    H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = cfg.kv_repeats
+    qh = q.reshape(KV, rep, D).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
+    t_ids = jnp.arange(cfg.max_seq_len)
+    mask = t_ids[None, None, :] <= pos
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("krt,tkd->krd", probs, vf)
+    return out.reshape(H * D)
+
+
+def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl):
+    E = cfg.n_experts
+    mv = partial(bucket_matvec, effort=effort, impl=impl)
+    if E == 1:
+        x1 = mv(layer.w1, x, expert=l)
+        x3 = mv(layer.w3, x, expert=l)
+        x2 = jax.nn.silu(x1) * x3           # silu kernel, aux.metal silu32b
+        return mv(layer.w2, x2, expert=l)
+    # MoE: top-2 gating (runNetwork.swift:184-201)
+    gate_logits = jnp.dot(x.astype(jnp.bfloat16), layer.ffn_gate[l],
+                          preferred_element_type=jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(gate_logits, cfg.n_experts_per_tok)
+    gates = jax.nn.softmax(top_vals)
+    out = jnp.zeros((cfg.dim,), jnp.float32)
+    for i in range(cfg.n_experts_per_tok):
+        inst = l * E + top_idx[i]
+        x1 = mv(layer.w1, x, expert=inst)
+        x3 = mv(layer.w3, x, expert=inst)
+        x2 = jax.nn.silu(x1) * x3
+        out = out + gates[i] * mv(layer.w2, x2, expert=inst)
+    return out
+
+
+def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
+                  k_cache, v_cache, effort: float = 1.0,
+                  impl: str = "auto"):
+    """One autoregressive step: embeds token_id at position pos, runs all
+    layers, returns (logits [vocab], k_cache, v_cache).
+
+    The per-layer body mirrors runNetwork.swift:124-201 (rmsnorm -> qkv ->
+    rope -> attention -> wo -> residual -> rmsnorm -> [gated] FFN).
+    """
+    h = w.tok_embeddings[token_id].astype(jnp.float32)
+    KV, D = cfg.n_kv_heads, cfg.head_dim
+    mv = partial(bucket_matvec, effort=effort, impl=impl)
+
+    def layer_step(carry, l):
+        h, k_cache, v_cache = carry
+        layer = w.layers
+        h_norm = rms_norm(h, layer.attn_norm[l], cfg.norm_eps)
+        q = mv(layer.wq, h_norm, expert=l)
+        k = mv(layer.wk, h_norm, expert=l)
+        v = mv(layer.wv, h_norm, expert=l)
+        q = rope_rotate(q.reshape(cfg.n_heads, D), pos, D,
+                        cfg.rope_theta).reshape(-1)
+        k = rope_rotate(k.reshape(KV, D), pos, D, cfg.rope_theta)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype)[None, None], (l, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
+            (l, pos, 0, 0))
+        attn = _attention(q, k_cache[l], v_cache[l], pos, cfg)
+        h = h + mv(layer.wo, attn, expert=l)
+        f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
+        h = h + _ffn(layer, l, f_norm, effort, cfg, impl)
+        return (h, k_cache, v_cache), None
+
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        layer_step, (h, k_cache, v_cache),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+
+    h = rms_norm(h, w.norm, cfg.norm_eps)
+    logits = dense_matvec(h, w.output)
+    return logits, k_cache, v_cache
+
+
+def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
+                        seed: int = 0, keep_dense: bool = False,
+                        scale: float = 0.02) -> ModelWeights:
+    """Random-weight model (no public checkpoints ship with this repo);
+    used by tests and synthetic benchmarks.
+
+    Weights are generated ON DEVICE (jax.random): the sandbox's host<->TPU
+    tunnel moves only ~6.5 MB/s, so host-side generation + transfer of
+    GB-scale weights is not viable.
+    """
+    key = jax.random.key(seed)
+    keys = iter(jax.random.split(key, 16))
+    L, E, dim, hid = cfg.n_layers, cfg.n_experts, cfg.dim, cfg.hidden_dim
+
+    def bucketed(n_inst, in_d, out_d):
+        wt = jax.random.normal(next(keys), (n_inst, in_d, out_d),
+                               jnp.float32) * scale
+        return bucketize(wt, bcfg, keep_dense=keep_dense)
+
+    q_out = cfg.n_heads * cfg.head_dim
+    kv_out = cfg.n_kv_heads * cfg.head_dim
+    layers = LayerWeights(
+        attn_norm=jnp.ones((L, dim), jnp.float32),
+        ffn_norm=jnp.ones((L, dim), jnp.float32),
+        wq=bucketed(L, dim, q_out),
+        wk=bucketed(L, dim, kv_out),
+        wv=bucketed(L, dim, kv_out),
+        wo=bucketed(L, q_out, dim),
+        w1=bucketed(L * E, dim, hid),
+        w2=bucketed(L * E, hid, dim),
+        w3=bucketed(L * E, dim, hid),
+        ffn_gate=((jax.random.normal(next(keys), (L, dim, E)) * scale
+                   ).astype(jnp.bfloat16) if E > 1 else None),
+    )
+    return ModelWeights(
+        tok_embeddings=(jax.random.normal(
+            next(keys), (cfg.vocab_size, dim)) * scale).astype(jnp.bfloat16),
+        norm=jnp.ones((dim,), jnp.float32),
+        output=(jax.random.normal(
+            next(keys), (dim, cfg.vocab_size)) * scale).astype(jnp.bfloat16),
+        layers=layers,
+    )

@@ -1,0 +1,149 @@
+"""Offline bucketization: dense weights -> BucketedMatrix (JAX, jittable).
+
+TPU-native re-design of the reference's GPU conversion pipeline
+(convert.swift:209-331: getProbes -> prepareValsIdxs -> per-row bitonic
+sortAbs -> preBucketize -> bucketize -> makeStats). Here the whole thing is a
+single vectorized argsort + take_along_axis + transposes under jit — no
+bitonic sort kernels, no position bits stolen from the fp16 mantissa.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effort_tpu.config import BucketConfig
+from effort_tpu.ops.layouts import BucketedMatrix, probe_sample_indices
+
+
+@partial(jax.jit, static_argnames=("bucket_size",))
+def _sort_buckets(wt: jax.Array, bucket_size: int):
+    """wt [in,out] -> (vals, pos, stats) with vals/pos [in, B, out/B]."""
+    in_dim, out_dim = wt.shape
+    B = bucket_size
+    nb = out_dim // B
+    w = wt.reshape(in_dim, nb, B).astype(jnp.float32)
+    order = jnp.argsort(-jnp.abs(w), axis=-1, stable=True)  # [in, nb, B]
+    sorted_vals = jnp.take_along_axis(w, order, axis=-1)
+    vals = jnp.transpose(sorted_vals, (0, 2, 1))  # [in, B(rank), nb]
+    pos = jnp.transpose(order, (0, 2, 1)).astype(jnp.int8)
+    stats = jnp.mean(jnp.abs(vals), axis=2)  # [in, B]
+    return vals, pos, stats
+
+
+def _to_blocks(x: jax.Array, n_chunks: int, G: int, K: int) -> jax.Array:
+    """[E, in, K, nb] -> [E*NB, G, nb] with block id = ((e*nchunks)+g)*K + k."""
+    E, in_dim, k_dim, nb = x.shape
+    assert k_dim == K
+    x = x.reshape(E, n_chunks, G, K, nb)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))  # [E, nchunks, K, G, nb]
+    return x.reshape(E * n_chunks * K, G, nb)
+
+
+def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False) -> BucketedMatrix:
+    """Convert dense transposed weights to the bucketized format.
+
+    wt: [in_dim, out_dim] or [E, in_dim, out_dim] (multi-expert, the packed
+    layout of loader.swift:124 buckets[numExperts, ...]).
+    """
+    wt = jnp.asarray(wt)
+    if wt.ndim == 2:
+        wt = wt[None]
+    E, in_dim, out_dim = wt.shape
+    B, G = cfg.bucket_size, cfg.chunk_rows
+    assert out_dim % B == 0, (out_dim, B)
+    assert in_dim % G == 0, (in_dim, G)
+    K = cfg.ranks_loaded
+    n_chunks = in_dim // G
+    nb = out_dim // B
+
+    outlier_vals = outlier_idx = None
+    if cfg.dtype == "int4":
+        # Extract top-|w| outliers and ZERO them in the source before
+        # bucketing (q4_draft.py:70-108); they are added back exactly in
+        # fp32 at multiply time (calcOutliers, bucketMulQ4.metal:13-21).
+        wt, outlier_vals, outlier_idx = _extract_outliers(wt, cfg.outlier_frac)
+
+    vals_l, pos_l, stats_l = [], [], []
+    for e in range(E):  # loop keeps peak memory at one expert's intermediates
+        va, po, st = _sort_buckets(wt[e], B)
+        vals_l.append(va[:, :K])  # truncated loading: keep leading ranks only
+        pos_l.append(po[:, :K])
+        stats_l.append(st[:, :K])
+    vals = jnp.stack(vals_l)    # [E, in, K, nb] f32
+    pos = jnp.stack(pos_l)      # [E, in, K, nb] int8
+    stats = jnp.stack(stats_l)  # [E, in, K] f32
+
+    scales = None
+    if cfg.dtype == "bf16":
+        qvals = vals.astype(jnp.bfloat16)
+    elif cfg.dtype == "int8":
+        # Per-bucket-row symmetric scale: finer than the reference's Q8
+        # per-slice ranges (convert.swift:291-313) — TPU int8->f32 converts
+        # are cheap so we spend the scale granularity on quality.
+        scales = jnp.maximum(jnp.max(jnp.abs(vals), axis=3), 1e-30) / 127.0
+        qvals = jnp.clip(jnp.round(vals / scales[..., None]), -127, 127
+                         ).astype(jnp.int8)
+    elif cfg.dtype == "int4":
+        # Outliers already removed above; per-bucket-row symmetric 4-bit.
+        # NOTE: stored as int8 holding [-7,7]; 2-per-byte packing is a
+        # kernel-side optimization (tracked for the Q4 phase).
+        scales = jnp.maximum(jnp.max(jnp.abs(vals), axis=3), 1e-30) / 7.0
+        qvals = jnp.clip(jnp.round(vals / scales[..., None]), -7, 7
+                         ).astype(jnp.int8)
+    else:
+        raise ValueError(cfg.dtype)
+
+    vblocks = _to_blocks(qvals, n_chunks, G, K)
+    pblocks = _to_blocks(pos, n_chunks, G, K)
+    # Append one all-zero block: the DMA target for padding slots in the
+    # compacted dispatch list (replaces the reference's zeroRange32 padding
+    # patch, bucketMul.swift:57-63).
+    vblocks = jnp.concatenate([vblocks, jnp.zeros_like(vblocks[:1])])
+    pblocks = jnp.concatenate([pblocks, jnp.zeros_like(pblocks[:1])])
+
+    pidx = probe_sample_indices(in_dim, out_dim, cfg.probes)
+    probes = wt[:, pidx[:, 0], pidx[:, 1]].astype(jnp.float32)  # [E, P]
+
+    return BucketedMatrix(
+        vals=vblocks,
+        pos=pblocks,
+        stats=stats,
+        probes=probes,
+        probe_dims=jnp.asarray(pidx[:, 0]),
+        scales=scales,
+        outlier_vals=outlier_vals,
+        outlier_idx=outlier_idx,
+        dense=wt.astype(jnp.bfloat16) if keep_dense else None,
+        in_dim=in_dim,
+        out_dim=out_dim,
+        bucket_size=B,
+        chunk_rows=G,
+        n_ranks=K,
+        n_experts=E,
+        dtype_name=cfg.dtype,
+    )
+
+
+def _extract_outliers(wt, outlier_frac: float):
+    """Pull the top-|w| fraction out for exact fp32 handling; zero in wt."""
+    E, in_dim, out_dim = wt.shape
+    n_out = max(1, int(in_dim * out_dim * outlier_frac))
+    wt_clean, ov_l, oi_l = [], [], []
+    for e in range(E):
+        flat = wt[e].reshape(-1).astype(jnp.float32)
+        _, top = jax.lax.top_k(jnp.abs(flat), n_out)
+        rows, cols = top // out_dim, top % out_dim
+        ov_l.append(flat[top])
+        oi_l.append(jnp.stack([rows, cols], axis=1).astype(jnp.int32))
+        wt_clean.append(flat.at[top].set(0.0).reshape(in_dim, out_dim))
+    return jnp.stack(wt_clean), jnp.stack(ov_l), jnp.stack(oi_l)
+
+
+def bucketize_numpy(wt: np.ndarray, cfg: BucketConfig, **kw) -> BucketedMatrix:
+    """Convenience wrapper for tests/conversion from numpy arrays."""
+    return bucketize(jnp.asarray(wt), cfg, **kw)

