@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+Run modes mirror the reference binary (main.swift:26-35, 94-135):
+  convert     HF safetensors -> bucketized checkpoint
+  generate    one-shot generation at a given effort
+  repl        interactive: type text to generate; type a number 0-100 to
+              set effort and re-run the previous query; 'r' re-runs
+  bucket      single-matrix quality/speed sweep (goBucketPerformance)
+  quiz        QA accuracy across the effort scale (goQuiz)
+  agreement   token-prediction agreement sweep (goBenchmarkSimilarity)
+
+Checkpoints: --ckpt DIR (bucketized) or --synthetic for random weights
+(this sandbox has no model weights; the tunnel is too slow to upload any).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_engine(args):
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.runtime.tokenizer import Tokenizer
+    tok = Tokenizer(args.tokenizer) if args.tokenizer else None
+    if args.ckpt:
+        from effort_tpu.models.weights import load_bucketized
+        w, cfg, _ = load_bucketized(args.ckpt,
+                                    percent_load=args.percent_load)
+    else:
+        from effort_tpu.config import (BucketConfig, mistral_7b,
+                                       tiny_test_model)
+        from effort_tpu.models.transformer import init_random_weights
+        cfg = tiny_test_model() if args.synthetic == "tiny" else mistral_7b()
+        bcfg = BucketConfig(bucket_size=args.bucket_size,
+                            chunk_rows=args.chunk_rows, dtype=args.dtype)
+        w = init_random_weights(cfg, bcfg, keep_dense=args.keep_dense)
+    return Engine(w, cfg, tokenizer=tok, impl=args.impl), cfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="effort-tpu", description=__doc__)
+    p.add_argument("mode", choices=["convert", "generate", "repl", "bucket",
+                                    "quiz", "agreement"])
+    p.add_argument("--ckpt", help="bucketized checkpoint dir")
+    p.add_argument("--src", help="HF checkpoint dir (convert)")
+    p.add_argument("--dst", help="output dir (convert)")
+    p.add_argument("--model", default="mistral-7b",
+                   choices=["mistral-7b", "mixtral-8x7b", "tiny"])
+    p.add_argument("--synthetic", nargs="?", const="tiny",
+                   choices=["tiny", "mistral-7b"],
+                   help="use random weights (tiny|mistral-7b)")
+    p.add_argument("--tokenizer", help="tokenizer.json path")
+    p.add_argument("--effort", type=float, default=1.0)
+    p.add_argument("--percent-load", type=float, default=None)
+    p.add_argument("--dtype", default="bf16",
+                   choices=["bf16", "int8", "int4"])
+    p.add_argument("--bucket-size", type=int, default=4)
+    p.add_argument("--chunk-rows", type=int, default=16)
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "jnp", "pallas", "dense"])
+    p.add_argument("--keep-dense", action="store_true")
+    p.add_argument("--prompt", default="How are")
+    p.add_argument("--n-tokens", type=int, default=30)
+    p.add_argument("--quiz-file", default=None)
+    args = p.parse_args(argv)
+
+    if args.mode == "convert":
+        from effort_tpu.config import (BucketConfig, mistral_7b,
+                                       mixtral_8x7b)
+        from effort_tpu.convert.convert import convert_checkpoint
+        cfg = {"mistral-7b": mistral_7b(),
+               "mixtral-8x7b": mixtral_8x7b()}[args.model]
+        bcfg = BucketConfig(bucket_size=args.bucket_size,
+                            chunk_rows=args.chunk_rows, dtype=args.dtype)
+        convert_checkpoint(args.src, args.dst, cfg, bcfg)
+        return
+
+    if args.mode == "bucket":
+        _run_bucket_sweep(args)
+        return
+
+    engine, cfg = _build_engine(args)
+    tok = engine.tokenizer
+
+    def encode(text):
+        if tok is not None:
+            from effort_tpu.runtime.tokenizer import mistral_instruct_prompt
+            return tok.encode(mistral_instruct_prompt(text))
+        return [1] + [ord(c) % cfg.vocab_size for c in text]
+
+    if args.mode == "generate":
+        r = engine.generate(encode(args.prompt), n_new=args.n_tokens,
+                            effort=args.effort)
+        print(r.text if r.text else r.token_ids)
+        print(f"[effort {args.effort*100:.0f}%: "
+              f"{r.eval_ms_per_token:.2f} ms/token, "
+              f"{r.tokens_per_s:.1f} tok/s]")
+    elif args.mode == "repl":
+        _repl(engine, encode, args)
+    elif args.mode == "quiz":
+        from effort_tpu.eval.harness import run_quiz, load_quiz
+        import os
+        qf = args.quiz_file or os.path.join(
+            os.path.dirname(__file__), "eval", "data", "quiz.json")
+        assert tok is not None, "quiz needs --tokenizer"
+        scores = run_quiz(engine, load_quiz(qf), tok,
+                          progress=lambda i, n: print(f"\r{i}/{n}", end=""))
+        print()
+        for e, s in scores.items():
+            print(f"effort {e*100:5.1f}%: accuracy {s*100:5.1f}%")
+    elif args.mode == "agreement":
+        from effort_tpu.eval.harness import agreement_sweep
+        out = agreement_sweep(engine, encode(args.prompt),
+                              n_tokens=args.n_tokens)
+        for e, s in out.items():
+            print(f"effort {e*100:5.1f}%: agreement {s*100:5.1f}%")
+
+
+def _repl(engine, encode, args):
+    """Interactive loop, reference REPL semantics (main.swift:110-135)."""
+    effort = args.effort
+    prev = "Tell me a story."
+    print("query, or 0-100 to set effort and re-run, or 'r' to repeat:")
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line.isdigit() and 0 <= int(line) <= 100:
+            effort = int(line) / 100
+            query = prev
+        elif line == "r":
+            query = prev
+        else:
+            query = line
+        prev = query
+        r = engine.generate(encode(query), n_new=args.n_tokens,
+                            effort=max(effort, 0.01))
+        print(r.text if r.text else r.token_ids)
+        print(f"[effort {effort*100:.0f}%: {r.tokens_per_s:.1f} tok/s]")
+        print("> ", end="", flush=True)
+
+
+def _run_bucket_sweep(args):
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.ops.bucketize import bucketize
+    from effort_tpu.eval.harness import matrix_quality_sweep, effort_scale
+    wt = jax.random.normal(jax.random.key(0), (4096, 14336),
+                           jnp.float32) * 0.02
+    v = jax.random.normal(jax.random.key(1), (4096,), jnp.float32)
+    bcfg = BucketConfig(bucket_size=args.bucket_size,
+                        chunk_rows=args.chunk_rows, dtype=args.dtype)
+    bm = bucketize(wt, bcfg, keep_dense=True)
+    impl = args.impl if args.impl != "auto" else (
+        "pallas" if jax.default_backend() == "tpu" else "jnp")
+    out = matrix_quality_sweep(bm, v, impl=impl, wt_dense=wt)
+    for e, s in out.items():
+        print(f"effort {e*100:5.1f}%: cos-sim {s:.4f}")
+
+
+if __name__ == "__main__":
+    main()

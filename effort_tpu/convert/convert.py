@@ -1,0 +1,149 @@
+"""Offline conversion: HF-format safetensors -> bucketized effort checkpoint.
+
+Counterpart of convert.swift:
+  - name mapping per convertMistral (convert.swift:86-106) / convertMixtral
+    (convert.swift:161-187), extended with the modern HF Mixtral names
+    (block_sparse_moe.*) the reference predates.
+  - per-matrix bucketization via ops/bucketize.py (the GPU pipeline of
+    convert.swift:209-331 collapses into one jitted argsort program).
+  - output: one safetensors shard set + index.json + config.json; per-layer
+    tensors named <prefix>.{vals,pos,stats,probes,scales}; the loader
+    (models/weights.py) stacks layers into packed BucketedMatrix containers.
+
+Weights are stored TRANSPOSED ([in_dim, out_dim]) in bucket-block layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from effort_tpu.config import BucketConfig, ModelConfig
+from effort_tpu.runtime.safetensors_io import (MultiShardReader,
+                                               SafeTensorWriter)
+
+# HF source name patterns per projection, {l}=layer, {e}=expert.
+HF_NAME_MAPS = {
+    "mistral": {
+        "wq": "model.layers.{l}.self_attn.q_proj.weight",
+        "wk": "model.layers.{l}.self_attn.k_proj.weight",
+        "wv": "model.layers.{l}.self_attn.v_proj.weight",
+        "wo": "model.layers.{l}.self_attn.o_proj.weight",
+        "w1": "model.layers.{l}.mlp.gate_proj.weight",
+        "w2": "model.layers.{l}.mlp.down_proj.weight",
+        "w3": "model.layers.{l}.mlp.up_proj.weight",
+        "attn_norm": "model.layers.{l}.input_layernorm.weight",
+        "ffn_norm": "model.layers.{l}.post_attention_layernorm.weight",
+        "norm": "model.norm.weight",
+        "embed": "model.embed_tokens.weight",
+        "lm_head": "lm_head.weight",
+    },
+    "mixtral": {
+        "wq": "model.layers.{l}.self_attn.q_proj.weight",
+        "wk": "model.layers.{l}.self_attn.k_proj.weight",
+        "wv": "model.layers.{l}.self_attn.v_proj.weight",
+        "wo": "model.layers.{l}.self_attn.o_proj.weight",
+        "w1": "model.layers.{l}.block_sparse_moe.experts.{e}.w1.weight",
+        "w2": "model.layers.{l}.block_sparse_moe.experts.{e}.w2.weight",
+        "w3": "model.layers.{l}.block_sparse_moe.experts.{e}.w3.weight",
+        "gate": "model.layers.{l}.block_sparse_moe.gate.weight",
+        "attn_norm": "model.layers.{l}.input_layernorm.weight",
+        "ffn_norm": "model.layers.{l}.post_attention_layernorm.weight",
+        "norm": "model.norm.weight",
+        "embed": "model.embed_tokens.weight",
+        "lm_head": "lm_head.weight",
+    },
+}
+
+
+def _to_bits_bf16(x) -> np.ndarray:
+    """f32/bf16 jax array -> uint16 bf16 bit patterns (for storage)."""
+    import jax.numpy as jnp
+    x = np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
+    return x.view(np.uint16)
+
+
+def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
+                         w_hf: np.ndarray, bcfg: BucketConfig,
+                         store_core: bool = False):
+    """w_hf: HF layout [out_features, in_features]; bucketize its transpose."""
+    from effort_tpu.ops.bucketize import bucketize
+    import jax.numpy as jnp
+    wt = jnp.asarray(w_hf.T)                        # [in, out]
+    bm = bucketize(wt, bcfg)
+    writer.add(prefix + ".vals",
+               _to_bits_bf16(bm.vals[:-1]) if bm.dtype_name == "bf16"
+               else np.asarray(bm.vals[:-1]),
+               bf16_bits=bm.dtype_name == "bf16")
+    writer.add(prefix + ".pos", np.asarray(bm.pos[:-1]))
+    writer.add(prefix + ".stats", np.asarray(bm.stats[0]))
+    writer.add(prefix + ".probes", np.asarray(bm.probes[0]))
+    if bm.scales is not None:
+        writer.add(prefix + ".scales", np.asarray(bm.scales[0]))
+    if bm.outlier_vals is not None:
+        writer.add(prefix + ".outlier_vals", np.asarray(bm.outlier_vals[0]))
+        writer.add(prefix + ".outlier_idx", np.asarray(bm.outlier_idx[0]))
+    if store_core:
+        # dense copy, like the reference's optional "core" tensors
+        writer.add(prefix + ".core", _to_bits_bf16(wt), bf16_bits=True)
+
+
+def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
+                       bcfg: BucketConfig, family: Optional[str] = None,
+                       store_core: bool = False,
+                       progress=print) -> str:
+    """Convert an HF checkpoint directory to the effort-tpu bucket format."""
+    family = family or ("mixtral" if cfg.is_moe else "mistral")
+    names = HF_NAME_MAPS[family]
+    src = MultiShardReader(src_dir)
+    model_tag = f"buckets-{bcfg.dtype.upper()}"
+    writer = SafeTensorWriter(dst_dir, model_tag)
+
+    writer.add("norm", src.get_f32(names["norm"]))
+    writer.add("tok_embeddings", _to_bits_bf16(src.get_f32(names["embed"])),
+               bf16_bits=True)
+    lm = names["lm_head"]
+    if lm in src:
+        out_w = src.get_f32(lm)
+    else:  # tied embeddings
+        out_w = src.get_f32(names["embed"])
+    writer.add("output", _to_bits_bf16(out_w.T), bf16_bits=True)
+
+    for l in range(cfg.n_layers):
+        progress(f"converting layer {l}/{cfg.n_layers}")
+        pre = f"layers.{l}."
+        writer.add(pre + "attention_norm",
+                   src.get_f32(names["attn_norm"].format(l=l)))
+        writer.add(pre + "ffn_norm",
+                   src.get_f32(names["ffn_norm"].format(l=l)))
+        for p in ("wq", "wk", "wv", "wo"):
+            _bucketize_and_store(
+                writer, pre + f"attention.{p}",
+                src.get_f32(names[p].format(l=l)), bcfg, store_core)
+        if cfg.is_moe:
+            writer.add(pre + "ffn_gate",
+                       _to_bits_bf16(src.get_f32(names["gate"].format(l=l)).T),
+                       bf16_bits=True)
+            for e in range(cfg.n_experts):
+                for p in ("w1", "w2", "w3"):
+                    _bucketize_and_store(
+                        writer, pre + f"feed_forward.experts.{e}.{p}",
+                        src.get_f32(names[p].format(l=l, e=e)), bcfg,
+                        store_core)
+        else:
+            for p in ("w1", "w2", "w3"):
+                _bucketize_and_store(
+                    writer, pre + f"feed_forward.experts.0.{p}",
+                    src.get_f32(names[p].format(l=l)), bcfg, store_core)
+    writer.save()
+    src.close()
+
+    with open(os.path.join(dst_dir, "config.json"), "w") as f:
+        json.dump({"model": dataclasses.asdict(cfg),
+                   "buckets": dataclasses.asdict(bcfg)}, f, indent=2)
+    progress(f"saved {model_tag} to {dst_dir}")
+    return model_tag

@@ -1,0 +1,141 @@
+"""Load a bucketized effort checkpoint into packed ModelWeights.
+
+Counterpart of loader.swift (Model/Layer/ExpertWeights): reads the per-layer
+tensors the converter wrote and stacks them into the packed per-projection
+BucketedMatrix containers the scan-based forward pass uses
+(models/transformer.py). Truncated loading (percent_load < 1) drops the
+highest ranks at load time, like the reference's percentLoad row scaling
+(loader.swift:50,70,124).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from effort_tpu.config import BucketConfig, ModelConfig
+from effort_tpu.ops.layouts import BucketedMatrix, probe_sample_indices
+from effort_tpu.models.transformer import LayerWeights, ModelWeights
+from effort_tpu.runtime.safetensors_io import MultiShardReader
+
+
+def load_config(ckpt_dir: str):
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        d = json.load(f)
+    return (ModelConfig(**d["model"]), BucketConfig(**d["buckets"]))
+
+
+def _bf16(reader: MultiShardReader, name: str) -> jnp.ndarray:
+    # copy before the reader's mmap can go away: on the CPU backend
+    # jnp.asarray may alias the numpy buffer zero-copy.
+    bits = np.array(reader[name], copy=True)
+    assert bits.dtype == np.uint16, name
+    return jnp.asarray(bits).view(jnp.bfloat16)
+
+
+def _arr(reader: MultiShardReader, name: str) -> jnp.ndarray:
+    return jnp.asarray(np.array(reader[name], copy=True))
+
+
+def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
+                    cfg: ModelConfig, bcfg: BucketConfig,
+                    percent_load: Optional[float] = None) -> BucketedMatrix:
+    """Stack per-instance tensors (one per prefix) into one packed
+    BucketedMatrix whose n_experts = len(prefixes)."""
+    info = reader._reader(prefixes[0] + ".vals").info(prefixes[0] + ".vals")
+    is_bf16 = info["dtype"] == "BF16"
+    K_stored = None
+    vals_l, pos_l, stats_l, probes_l, scales_l = [], [], [], [], []
+    ov_l, oi_l = [], []
+    for p in prefixes:
+        v = (_bf16(reader, p + ".vals") if is_bf16
+             else _arr(reader, p + ".vals"))
+        vals_l.append(v)
+        pos_l.append(_arr(reader, p + ".pos"))
+        stats_l.append(_arr(reader, p + ".stats"))
+        probes_l.append(_arr(reader, p + ".probes"))
+        if p + ".scales" in reader:
+            scales_l.append(_arr(reader, p + ".scales"))
+        if p + ".outlier_vals" in reader:
+            ov_l.append(_arr(reader, p + ".outlier_vals"))
+            oi_l.append(_arr(reader, p + ".outlier_idx"))
+
+    stats = jnp.stack(stats_l)                     # [E, in, K_stored]
+    E, in_dim, K_stored = stats.shape
+    G = bcfg.chunk_rows
+    NB_inst = vals_l[0].shape[0]
+    OB = vals_l[0].shape[2]
+    B = bcfg.bucket_size
+    out_dim = OB * B
+    assert NB_inst == (in_dim // G) * K_stored
+
+    # truncated loading at load time: keep only the first K ranks
+    K = K_stored
+    if percent_load is not None and percent_load < 1.0:
+        K = max(1, int(round(percent_load * K_stored)))
+        keep = np.zeros((in_dim // G, K_stored), bool)
+        keep[:, :K] = True
+        keep = keep.reshape(-1)
+        vals_l = [v[keep] for v in vals_l]
+        pos_l = [p[keep] for p in pos_l]
+        stats = stats[:, :, :K]
+        scales_l = [s[:, :K] for s in scales_l]
+
+    vals = jnp.concatenate(vals_l)                 # [E*NB, G, OB]
+    pos = jnp.concatenate(pos_l)
+    vals = jnp.concatenate([vals, jnp.zeros_like(vals[:1])])
+    pos = jnp.concatenate([pos, jnp.zeros_like(pos[:1])])
+    return BucketedMatrix(
+        vals=vals, pos=pos, stats=stats,
+        probes=jnp.stack(probes_l),
+        probe_dims=jnp.asarray(
+            probe_sample_indices(in_dim, out_dim, bcfg.probes)[:, 0]),
+        scales=jnp.stack(scales_l) if scales_l else None,
+        outlier_vals=jnp.stack(ov_l) if ov_l else None,
+        outlier_idx=jnp.stack(oi_l) if oi_l else None,
+        dense=None,
+        in_dim=in_dim, out_dim=out_dim, bucket_size=B, chunk_rows=G,
+        n_ranks=K, n_experts=E, dtype_name=bcfg.dtype,
+    )
+
+
+def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
+                    model: Optional[str] = None) -> tuple:
+    """Returns (ModelWeights, ModelConfig, BucketConfig)."""
+    cfg, bcfg = load_config(ckpt_dir)
+    r = MultiShardReader(ckpt_dir, model)
+    L, E = cfg.n_layers, cfg.n_experts
+
+    def attn(p):
+        return _stack_bucketed(
+            r, [f"layers.{l}.attention.{p}" for l in range(L)],
+            cfg, bcfg, percent_load)
+
+    def ffn(p):
+        return _stack_bucketed(
+            r, [f"layers.{l}.feed_forward.experts.{e}.{p}"
+                for l in range(L) for e in range(E)],
+            cfg, bcfg, percent_load)
+
+    layers = LayerWeights(
+        attn_norm=jnp.stack([jnp.asarray(np.array(r.get_f32(
+            f"layers.{l}.attention_norm"))) for l in range(L)]),
+        ffn_norm=jnp.stack([jnp.asarray(np.array(r.get_f32(
+            f"layers.{l}.ffn_norm"))) for l in range(L)]),
+        wq=attn("wq"), wk=attn("wk"), wv=attn("wv"), wo=attn("wo"),
+        w1=ffn("w1"), w2=ffn("w2"), w3=ffn("w3"),
+        ffn_gate=(jnp.stack([_bf16(r, f"layers.{l}.ffn_gate")
+                             for l in range(L)]) if cfg.is_moe else None),
+    )
+    w = ModelWeights(
+        tok_embeddings=_bf16(r, "tok_embeddings"),
+        norm=jnp.asarray(np.array(r.get_f32("norm"))),
+        output=_bf16(r, "output"),
+        layers=layers,
+    )
+    r.close()
+    return w, cfg, bcfg

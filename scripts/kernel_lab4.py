@@ -54,36 +54,40 @@ def main():
     print(f"dense      : {t*1e6:8.1f} us  ({wbytes/t/1e9:6.1f} GB/s)",
           flush=True)
 
-    # ---- stream-sum, carry-dependent ----
+    # ---- stream-sum, carry-dependent (arrays passed as args: closures
+    # embed device arrays as giant MLIR constants) ----
+    def stream_kernel(c_ref, v_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[...] = c_ref[...].astype(jnp.float32) * 0.0
+        o_ref[...] += jnp.sum(v_ref[0].astype(jnp.float32), axis=0,
+                              keepdims=True)
+
+    def pc(c, v2, rows, nblk2):
+        return pl.pallas_call(
+            stream_kernel,
+            grid=(nblk2,),
+            in_specs=[pl.BlockSpec((1, OB), lambda b: (0, 0)),
+                      pl.BlockSpec((1, rows, OB), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, OB), lambda b: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
+        )(c, v2)
+
+    def mk_stream(n, rows, nblk2):
+        @jax.jit
+        def run(c, v2):
+            return jax.lax.fori_loop(
+                0, n, lambda i, c: pc(c, v2, rows, nblk2) * 1e-6, c)
+        return run
+
     for mult in (1, 4, 16):
         if (NB + 1) % mult:
             continue
         rows, nblk2 = G * mult, (NB + 1) // mult
         v2 = bm.vals.reshape(nblk2, rows, OB)
-
-        def kernel(c_ref, v_ref, o_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                o_ref[...] = c_ref[...].astype(jnp.float32) * 0.0
-            o_ref[...] += jnp.sum(v_ref[0].astype(jnp.float32), axis=0,
-                                  keepdims=True)
-
-        def pc(c, v2=v2, rows=rows, nblk2=nblk2):
-            return pl.pallas_call(
-                kernel,
-                grid=(nblk2,),
-                in_specs=[pl.BlockSpec((1, OB), lambda b: (0, 0)),
-                          pl.BlockSpec((1, rows, OB), lambda b: (b, 0, 0))],
-                out_specs=pl.BlockSpec((1, OB), lambda b: (0, 0)),
-                out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
-            )(c, v2)
-
-        def mk_stream(n, pc=pc):
-            @jax.jit
-            def run(c):
-                return jax.lax.fori_loop(0, n, lambda i, c: pc(c) * 1e-6, c)
-            return run
-        t = chain_time(mk_stream, 2, 6, jnp.zeros((1, OB), jnp.float32))
+        t = chain_time(lambda n, rows=rows, nblk2=nblk2: mk_stream(
+            n, rows, nblk2), 2, 6,
+            jnp.zeros((1, OB), jnp.float32), v2)
         print(f"stream x{mult:3d} ({rows*OB*2//1024:6d} kB): {t*1e6:8.1f} us "
               f"({(NB+1)*G*OB*2/t/1e9:6.1f} GB/s)", flush=True)
 
@@ -95,7 +99,7 @@ def main():
     bytes_rd = max_blocks * G * OB * 3
 
     def gather_call(vals, pos, bids, u, bufs):
-        mode = (pl.Buffered(buffer_count=bufs, use_lookahead=True)
+        mode = (pl.Buffered(buffer_count=bufs, use_lookahead=False)
                 if bufs else None)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -117,12 +121,13 @@ def main():
 
     def mk_gather(n, bufs, seq):
         @jax.jit
-        def run(v):
+        def run(v, bmx):
             def body(i, v):
-                sel = select_blocks(bm_nd, v, effort, 0, max_blocks)
+                sel = select_blocks(bmx, v, effort, 0, max_blocks)
                 bids = (jnp.arange(max_blocks, dtype=jnp.int32) if seq
-                        else sel.block_ids)
-                acc = gather_call(bm_nd.vals, bm_nd.pos, bids, sel.u_scaled,
+                        else (jnp.sort(sel.block_ids) if seq is None or True
+                              else sel.block_ids))
+                acc = gather_call(bmx.vals, bmx.pos, bids, sel.u_scaled,
                                   bufs)
                 y = acc.T.reshape(-1)
                 return jnp.tanh(y * 0.02)
@@ -134,7 +139,7 @@ def main():
     for seq in (True, False):
         for bufs in (0, 2, 4, 8):
             f = lambda n, bufs=bufs, seq=seq: mk_gather(n, bufs, seq)
-            t = chain_time(f, 4, 16, v0)
+            t = chain_time(f, 4, 16, v0, bm_nd)
             tag = "seqids" if seq else "gather"
             print(f"{tag} bufs={bufs}: {t*1e6:8.1f} us "
                   f"({bytes_rd/t/1e9:6.1f} GB/s, "

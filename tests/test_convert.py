@@ -1,0 +1,103 @@
+"""HF checkpoint -> bucketized checkpoint -> loaded model, end to end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.convert.convert import convert_checkpoint, HF_NAME_MAPS
+from effort_tpu.models.weights import load_bucketized
+from effort_tpu.models.transformer import forward_token, make_kv_cache
+from effort_tpu.runtime.safetensors_io import SafeTensorWriter
+from effort_tpu.ops.bucketmul import dense_matvec
+
+
+def _write_hf_ckpt(d, cfg, rng, family="mistral"):
+    names = HF_NAME_MAPS[family]
+    w = SafeTensorWriter(str(d), "model")
+    dims = {
+        "wq": (cfg.n_heads * cfg.head_dim, cfg.dim),
+        "wk": (cfg.n_kv_heads * cfg.head_dim, cfg.dim),
+        "wv": (cfg.n_kv_heads * cfg.head_dim, cfg.dim),
+        "wo": (cfg.dim, cfg.n_heads * cfg.head_dim),
+        "w1": (cfg.hidden_dim, cfg.dim),
+        "w2": (cfg.dim, cfg.hidden_dim),
+        "w3": (cfg.hidden_dim, cfg.dim),
+    }
+    tensors = {}
+
+    def add(name, shape):
+        t = (rng.standard_normal(shape) * 0.02).astype(np.float32)
+        w.add(name, t)
+        tensors[name] = t
+
+    add(names["norm"], (cfg.dim,))
+    add(names["embed"], (cfg.vocab_size, cfg.dim))
+    add(names["lm_head"], (cfg.vocab_size, cfg.dim))
+    for l in range(cfg.n_layers):
+        add(names["attn_norm"].format(l=l), (cfg.dim,))
+        add(names["ffn_norm"].format(l=l), (cfg.dim,))
+        for p in ("wq", "wk", "wv", "wo"):
+            add(names[p].format(l=l), dims[p])
+        if family == "mixtral":
+            add(names["gate"].format(l=l), (cfg.n_experts, cfg.dim))
+            for e in range(cfg.n_experts):
+                for p in ("w1", "w2", "w3"):
+                    add(names[p].format(l=l, e=e), dims[p])
+        else:
+            for p in ("w1", "w2", "w3"):
+                add(names[p].format(l=l), dims[p])
+    w.save()
+    return tensors
+
+
+@pytest.mark.parametrize("family,dtype", [("mistral", "bf16"),
+                                          ("mistral", "int8"),
+                                          ("mixtral", "bf16")])
+def test_convert_load_forward(tmp_path, rng, family, dtype):
+    cfg = tiny_test_model(n_experts=4 if family == "mixtral" else 1)
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8, dtype=dtype)
+    src, dst = tmp_path / "hf", tmp_path / "buckets"
+    src.mkdir()
+    tensors = _write_hf_ckpt(src, cfg, rng, family)
+    convert_checkpoint(str(src), str(dst), cfg, bcfg, family=family,
+                       progress=lambda *a: None)
+
+    w, cfg2, bcfg2 = load_bucketized(str(dst))
+    assert cfg2.n_layers == cfg.n_layers
+
+    # forward runs and produces finite logits
+    k, v = make_kv_cache(cfg2)
+    logits, _, _ = forward_token(w, cfg2, jnp.asarray(3), jnp.asarray(0),
+                                 k, v, effort=0.9, impl="jnp")
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # a loaded bucketized matrix reproduces the dense product at effort 1
+    names = HF_NAME_MAPS[family]
+    wq_hf = tensors[names["wq"].format(l=0)]
+    x = rng.standard_normal(cfg.dim).astype(np.float32)
+    y_dense = x @ wq_hf.T
+    from effort_tpu.ops.bucketmul import bucket_matvec_jnp
+    y = np.asarray(bucket_matvec_jnp(w.layers.wq, jnp.asarray(x), 1.0,
+                                     expert=0))
+    cs = y @ y_dense / (np.linalg.norm(y) * np.linalg.norm(y_dense))
+    thresh = 0.999 if dtype == "bf16" else 0.99
+    assert cs > thresh, cs
+
+
+def test_truncated_load(tmp_path, rng):
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    src, dst = tmp_path / "hf", tmp_path / "b"
+    src.mkdir()
+    _write_hf_ckpt(src, cfg, rng)
+    convert_checkpoint(str(src), str(dst), cfg, bcfg,
+                       progress=lambda *a: None)
+    w_full, *_ = load_bucketized(str(dst))
+    w_half, *_ = load_bucketized(str(dst), percent_load=0.5)
+    assert w_half.layers.wq.n_ranks == 2
+    assert w_half.layers.wq.vals.shape[0] < w_full.layers.wq.vals.shape[0]
+    k, v = make_kv_cache(cfg)
+    logits, _, _ = forward_token(w_half, cfg, jnp.asarray(3), jnp.asarray(0),
+                                 k, v, effort=1.0, impl="jnp")
+    assert np.isfinite(np.asarray(logits)).all()

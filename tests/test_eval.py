@@ -1,0 +1,73 @@
+"""Eval harness tests on the tiny model (CPU)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.models.transformer import init_random_weights
+from effort_tpu.models.generate import Engine
+from effort_tpu.eval.harness import (matrix_quality_sweep, agreement_sweep,
+                                     run_quiz, effort_scale, load_quiz)
+
+QUIZ = os.path.join(os.path.dirname(__file__), "..", "effort_tpu", "eval",
+                    "data", "quiz.json")
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_test_model()
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8),
+                            keep_dense=True)
+    return Engine(w, cfg, impl="jnp", pad_to=8)
+
+
+def test_effort_scale_shape():
+    s = effort_scale()
+    assert s[0] == 1.0 and min(s) <= 0.03
+    assert all(a > b for a, b in zip(s, s[1:]))
+
+
+def test_matrix_quality_sweep(engine, rng):
+    from effort_tpu.ops.bucketize import bucketize
+    wt = (rng.standard_normal((64, 256)) * 0.02).astype(np.float32)
+    bm = bucketize(wt, BucketConfig(bucket_size=4, chunk_rows=8))
+    out = matrix_quality_sweep(bm, jnp.asarray(rng.standard_normal(
+        64).astype(np.float32)), efforts=[1.0, 0.5, 0.2], wt_dense=wt)
+    assert out[1.0] > 0.999
+    assert out[1.0] >= out[0.2] - 1e-6
+
+
+def test_agreement_sweep(engine):
+    out = agreement_sweep(engine, [1, 5, 9], n_tokens=4,
+                          efforts=[1.0, 0.4])
+    assert out[1.0] == 1.0          # control agrees with itself
+    assert 0.0 <= out[0.4] <= 1.0
+
+
+def test_quiz_data_wellformed():
+    for fn in ("quiz.json", "basic.json"):
+        quiz = load_quiz(os.path.join(os.path.dirname(QUIZ), fn))
+        assert len(quiz) >= 30
+        for item in quiz:
+            assert 0 <= item["correct"] < len(item["answers"])
+
+
+class _FakeTok:
+    """Maps text to stable pseudo-ids (tiny model has no real tokenizer)."""
+    def encode(self, text, bos=True):
+        ids = [1] if bos else []
+        ids += [17 + (hash(w) % 400) for w in text.split()][:12]
+        return ids or [3]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_run_quiz_mechanism(engine):
+    quiz = load_quiz(QUIZ)[:3]
+    scores = run_quiz(engine, quiz, _FakeTok(), efforts=[1.0, 0.3])
+    assert set(scores) == {1.0, 0.3}
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
