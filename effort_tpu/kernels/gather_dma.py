@@ -1,0 +1,134 @@
+"""Gather bucketMul v2: manual multi-slot DMA ring.
+
+The Mosaic pipeline emitter only supports double buffering for gathered
+(data-dependent index_map) blocks, which leaves the DMA engine idle between
+random-address block fetches. This kernel hand-rolls the pipeline instead:
+
+  - block ids (sorted ascending) are scalar-prefetched into SMEM,
+  - an S-slot VMEM ring holds in-flight blocks; the prologue launches S
+    DMAs, then each iteration waits on its slot, computes, and immediately
+    relaunches the slot for block b+S — keeping up to S random-address
+    DMAs in flight,
+  - positions travel packed (2 bits/element for B=4) and are unpacked on
+    the VPU with a repeat+shift+mask, cutting gather bytes by ~23%,
+  - compute is the B-way arithmetic-mask position scatter into a [B, OB]
+    f32 VMEM accumulator (same contract as kernels/gather_mul.py).
+
+Replaces the role of the reference's bucketMul+bucketIntegrate hot pair
+(bucketMul.metal:83-137) on the TPU memory system's terms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from effort_tpu.ops.layouts import BucketedMatrix
+from effort_tpu.ops.effort import BlockSelection
+
+
+def pack_positions(pos: jax.Array, bucket_size: int) -> jax.Array:
+    """[NB, G, OB] int8 positions -> packed uint8 [NB, G, OB*bits//8].
+
+    Element j's bits live in byte j // per_byte at shift (j % per_byte)*bits
+    (little-endian within the byte).
+    """
+    bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[bucket_size]
+    per_byte = 8 // bits
+    nb, g, ob = pos.shape
+    assert ob % per_byte == 0
+    p = pos.astype(jnp.uint8).reshape(nb, g, ob // per_byte, per_byte)
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits)
+    return jnp.sum(p << shifts, axis=-1, dtype=jnp.uint8)
+
+
+def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
+            ids_ref, u_ref, vals_hbm, pos_hbm, out_ref,
+            vscr, pscr, vsem, psem):
+    G = vscr.shape[1]
+    OB = vscr.shape[2]
+    per_byte = 8 // pos_bits
+    n_live = min(S, max_blocks)
+
+    def vals_dma(b, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[ids_ref[b]], vscr.at[slot], vsem.at[slot])
+
+    def pos_dma(b, slot):
+        return pltpu.make_async_copy(
+            pos_hbm.at[ids_ref[b]], pscr.at[slot], psem.at[slot])
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for s in range(n_live):                       # prologue
+        vals_dma(s, s).start()
+        pos_dma(s, s).start()
+
+    # lane -> shift pattern for unpacking (per_byte-periodic along lanes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, OB), 1)
+    shift = (lane % per_byte) * pos_bits
+    mask_val = (1 << pos_bits) - 1
+
+    def body(b, _):
+        slot = jax.lax.rem(b, S)
+        vals_dma(b, slot).wait()
+        pos_dma(b, slot).wait()
+        bid = ids_ref[b]
+        k = jax.lax.rem(bid, K)
+        g = jax.lax.rem(bid // K, n_chunks)
+        u = u_ref[k, g, :]                        # [G]
+        c = vscr[slot].astype(jnp.float32) * u[:, None]
+        packed = pscr[slot].astype(jnp.int32)     # [G, OB//per_byte]
+        p = (pltpu.repeat(packed, per_byte, axis=1) >> shift) & mask_val
+
+        if B == 1:
+            out_ref[0, :] += jnp.sum(c, axis=0)
+        else:
+            for pp in range(B):
+                m = (p == pp).astype(jnp.float32)
+                out_ref[pp, :] += jnp.sum(m * c, axis=0)
+
+        @pl.when(b + S < max_blocks)
+        def _():
+            vals_dma(b + S, slot).start()
+            pos_dma(b + S, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, max_blocks, body, 0)
+
+
+def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
+                      pos_packed: jax.Array, slots: int = 8) -> jax.Array:
+    """vals/pos gathered via the DMA ring; returns y [out_dim] f32."""
+    B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
+    bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B]
+    max_blocks = sel.block_ids.shape[0]
+    ids_sorted = jnp.sort(sel.block_ids)
+    kernel = functools.partial(_kernel, slots, B, K, bm.n_chunks,
+                               max_blocks, bits)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # u
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vals (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # pos packed (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, G, OB), bm.vals.dtype),
+            pltpu.VMEM((slots, G, OB * bits // 8), jnp.uint8),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, OB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids_sorted, sel.u_scaled, bm.vals, pos_packed)
+    return acc.T.reshape(OB * B)

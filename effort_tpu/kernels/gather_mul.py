@@ -49,29 +49,42 @@ def _kernel(B: int, K: int, n_chunks: int,
     vals = vals_ref[0].astype(jnp.float32)              # [G, OB]
     c = vals * u[:, None]
     # int8 vector compares are unsupported by Mosaic on v5e; upcast once.
+    # Arithmetic masking instead of jnp.where: avoids a jax lowering-cache
+    # bug with closed '_where' calls across pallas lowerings, and maps to
+    # cmp+convert+mul on the VPU.
     p = pos_ref[0].astype(jnp.int32)                    # [G, OB]
 
     if B == 1:
         out_ref[0, :] += jnp.sum(c, axis=0)
     else:
         for pp in range(B):
-            out_ref[pp, :] += jnp.sum(
-                jnp.where(p == pp, c, 0.0), axis=0)
+            mask = (p == pp).astype(jnp.float32)
+            out_ref[pp, :] += jnp.sum(mask * c, axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("B", "K", "G", "OB", "n_chunks", "interpret"))
 def _gather_call(vals, pos, block_ids, u_scaled, *, B, K, G, OB, n_chunks,
-                 interpret=False):
+                 bufs=2, interpret=False):
+    # NOT @jax.jit: this is called inside outer-jitted decode steps, and
+    # nested jit (closed_call) trips a lowering-cache KeyError in this
+    # jax version when combined with pallas lowerings.
     max_blocks = block_ids.shape[0]
+    # Sorted ids: the DMA engine handles monotonically increasing HBM
+    # addresses far better than priority-ordered (random) ones; pads
+    # (zero_block_id = max id) sort to the end.
+    block_ids = jnp.sort(block_ids)
+    # buffer_count > 2 hides the per-block DMA latency of the gathered
+    # (data-dependent) block stream.
+    mode = (pl.Buffered(buffer_count=bufs, use_lookahead=False)
+            if (bufs and not interpret) else None)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(max_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # u: whole array
-            pl.BlockSpec((1, G, OB), lambda b, bids: (bids[b], 0, 0)),
-            pl.BlockSpec((1, G, OB), lambda b, bids: (bids[b], 0, 0)),
+            pl.BlockSpec((1, G, OB), lambda b, bids: (bids[b], 0, 0),
+                         pipeline_mode=mode),
+            pl.BlockSpec((1, G, OB), lambda b, bids: (bids[b], 0, 0),
+                         pipeline_mode=mode),
         ],
         out_specs=pl.BlockSpec((B, OB), lambda b, bids: (0, 0)),
     )

@@ -110,14 +110,19 @@ def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig):
     return out.reshape(H * D)
 
 
-def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl):
+def _psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
+         tp_axis=None):
     E = cfg.n_experts
     mv = partial(bucket_matvec, effort=effort, impl=impl)
     if E == 1:
         x1 = mv(layer.w1, x, expert=l)
         x3 = mv(layer.w3, x, expert=l)
         x2 = jax.nn.silu(x1) * x3           # silu kernel, aux.metal silu32b
-        return mv(layer.w2, x2, expert=l)
+        return _psum(mv(layer.w2, x2, expert=l), tp_axis)
     # MoE: top-2 gating (runNetwork.swift:184-201)
     gate_logits = jnp.dot(x.astype(jnp.bfloat16), layer.ffn_gate[l],
                           preferred_element_type=jnp.float32)
@@ -130,17 +135,22 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl):
         x3 = mv(layer.w3, x, expert=inst)
         x2 = jax.nn.silu(x1) * x3
         out = out + gates[i] * mv(layer.w2, x2, expert=inst)
-    return out
+    return _psum(out, tp_axis)
 
 
 def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
                   k_cache, v_cache, effort: float = 1.0,
-                  impl: str = "auto"):
+                  impl: str = "auto", tp_axis: Optional[str] = None):
     """One autoregressive step: embeds token_id at position pos, runs all
     layers, returns (logits [vocab], k_cache, v_cache).
 
     The per-layer body mirrors runNetwork.swift:124-201 (rmsnorm -> qkv ->
     rope -> attention -> wo -> residual -> rmsnorm -> [gated] FFN).
+
+    tp_axis: when running inside shard_map with Megatron-style sharding
+    (parallel/tp.py), cfg must be the LOCAL config and psums are inserted
+    after wo and after the FFN down-projection; logits come back
+    vocab-sharded.
     """
     h = w.tok_embeddings[token_id].astype(jnp.float32)
     KV, D = cfg.n_kv_heads, cfg.head_dim
@@ -162,9 +172,9 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
             v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
             (l, pos, 0, 0))
         attn = _attention(q, k_cache[l], v_cache[l], pos, cfg)
-        h = h + mv(layer.wo, attn, expert=l)
+        h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
-        h = h + _ffn(layer, l, f_norm, effort, cfg, impl)
+        h = h + _ffn(layer, l, f_norm, effort, cfg, impl, tp_axis)
         return (h, k_cache, v_cache), None
 
     (h, k_cache, v_cache), _ = jax.lax.scan(

@@ -91,8 +91,8 @@ def main():
             return jax.lax.fori_loop(0, n, body, v)
         return run
 
-    for ids_mode in ("sorted", "random", "seq"):
-        for bufs in (2, 4):
+    for ids_mode in ("sorted", "seq"):
+        for bufs in (2, 4, 8):
             f = functools.partial(mk_gather, bufs=bufs, ids_mode=ids_mode)
             t = chain_time(f, 8, 136,
                            [(v, bm_nd) for v in
