@@ -69,12 +69,12 @@ def _to_bits_bf16(x) -> np.ndarray:
 
 def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
                          w_hf: np.ndarray, bcfg: BucketConfig,
-                         store_core: bool = False):
+                         store_core: bool = False, act_rms=None):
     """w_hf: HF layout [out_features, in_features]; bucketize its transpose."""
     from effort_tpu.ops.bucketize import bucketize
     import jax.numpy as jnp
     wt = jnp.asarray(w_hf.T)                        # [in, out]
-    bm = bucketize(wt, bcfg)
+    bm = bucketize(wt, bcfg, act_rms=act_rms)
     writer.add(prefix + ".vals",
                _to_bits_bf16(bm.vals[:-1]) if bm.dtype_name == "bf16"
                else np.asarray(bm.vals[:-1]),
@@ -87,6 +87,8 @@ def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
     if bm.outlier_vals is not None:
         writer.add(prefix + ".outlier_vals", np.asarray(bm.outlier_vals[0]))
         writer.add(prefix + ".outlier_idx", np.asarray(bm.outlier_idx[0]))
+    if bm.dim_order is not None:
+        writer.add(prefix + ".dim_order", np.asarray(bm.dim_order[0]))
     if store_core:
         # dense copy, like the reference's optional "core" tensors
         writer.add(prefix + ".core", _to_bits_bf16(wt), bf16_bits=True)

@@ -27,23 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from effort_tpu.ops.layouts import BucketedMatrix
+from effort_tpu.ops.layouts import BucketedMatrix, pack_positions  # noqa: F401
 from effort_tpu.ops.effort import BlockSelection
-
-
-def pack_positions(pos: jax.Array, bucket_size: int) -> jax.Array:
-    """[NB, G, OB] int8 positions -> packed uint8 [NB, G, OB*bits//8].
-
-    Element j's bits live in byte j // per_byte at shift (j % per_byte)*bits
-    (little-endian within the byte).
-    """
-    bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[bucket_size]
-    per_byte = 8 // bits
-    nb, g, ob = pos.shape
-    assert ob % per_byte == 0
-    p = pos.astype(jnp.uint8).reshape(nb, g, ob // per_byte, per_byte)
-    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits)
-    return jnp.sum(p << shifts, axis=-1, dtype=jnp.uint8)
 
 
 def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
@@ -67,9 +52,10 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
         vals_dma(s, s).start()
         pos_dma(s, s).start()
 
-    # lane -> shift pattern for unpacking (per_byte-periodic along lanes)
+    # lane -> shift pattern for strided packing + tile-copy unpacking
+    OBp = OB // per_byte
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, OB), 1)
-    shift = (lane % per_byte) * pos_bits
+    shift = (lane // OBp) * pos_bits
     mask_val = (1 << pos_bits) - 1
 
     def body(b, _):
@@ -101,8 +87,10 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
 
 
 def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
-                      pos_packed: jax.Array, slots: int = 8) -> jax.Array:
-    """vals/pos gathered via the DMA ring; returns y [out_dim] f32."""
+                      slots: int = 8) -> jax.Array:
+    """vals/pos gathered via the DMA ring; returns y [out_dim] f32.
+
+    bm.pos is stored packed (layouts.pack_positions strided layout)."""
     B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
     bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B]
     max_blocks = sel.block_ids.shape[0]
@@ -130,5 +118,5 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, OB), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids_sorted, sel.u_scaled, bm.vals, pos_packed)
+    )(ids_sorted, sel.u_scaled, bm.vals, bm.pos)
     return acc.T.reshape(OB * B)

@@ -103,6 +103,6 @@ def gather_bucket_matvec(bm: BucketedMatrix, sel: BlockSelection,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _gather_call(
-        bm.vals, bm.pos, sel.block_ids, sel.u_scaled,
+        bm.vals, bm.pos_unpacked(), sel.block_ids, sel.u_scaled,
         B=bm.bucket_size, K=bm.n_ranks, G=bm.chunk_rows,
         OB=bm.n_buckets, n_chunks=bm.n_chunks, interpret=interpret)

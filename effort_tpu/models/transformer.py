@@ -140,7 +140,8 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
 
 def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
                   k_cache, v_cache, effort: float = 1.0,
-                  impl: str = "auto", tp_axis: Optional[str] = None):
+                  impl: str = "auto", tp_axis: Optional[str] = None,
+                  collect_h: bool = False):
     """One autoregressive step: embeds token_id at position pos, runs all
     layers, returns (logits [vocab], k_cache, v_cache).
 
@@ -175,14 +176,16 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
         h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
         h = h + _ffn(layer, l, f_norm, effort, cfg, impl, tp_axis)
-        return (h, k_cache, v_cache), None
+        return (h, k_cache, v_cache), h
 
-    (h, k_cache, v_cache), _ = jax.lax.scan(
+    (h, k_cache, v_cache), h_layers = jax.lax.scan(
         layer_step, (h, k_cache, v_cache),
         jnp.arange(cfg.n_layers, dtype=jnp.int32))
 
     h = rms_norm(h, w.norm, cfg.norm_eps)
     logits = dense_matvec(h, w.output)
+    if collect_h:
+        return logits, k_cache, v_cache, h_layers
     return logits, k_cache, v_cache
 
 

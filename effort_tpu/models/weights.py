@@ -50,7 +50,7 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     is_bf16 = info["dtype"] == "BF16"
     K_stored = None
     vals_l, pos_l, stats_l, probes_l, scales_l = [], [], [], [], []
-    ov_l, oi_l = [], []
+    ov_l, oi_l, do_l = [], [], []
     for p in prefixes:
         v = (_bf16(reader, p + ".vals") if is_bf16
              else _arr(reader, p + ".vals"))
@@ -63,12 +63,14 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         if p + ".outlier_vals" in reader:
             ov_l.append(_arr(reader, p + ".outlier_vals"))
             oi_l.append(_arr(reader, p + ".outlier_idx"))
+        if p + ".dim_order" in reader:
+            do_l.append(_arr(reader, p + ".dim_order"))
 
     stats = jnp.stack(stats_l)                     # [E, in, K_stored]
     E, in_dim, K_stored = stats.shape
     G = bcfg.chunk_rows
     NB_inst = vals_l[0].shape[0]
-    OB = vals_l[0].shape[2]
+    OB = vals_l[0].shape[2]  # vals (not pos — pos is bit-packed)
     B = bcfg.bucket_size
     out_dim = OB * B
     assert NB_inst == (in_dim // G) * K_stored
@@ -98,6 +100,7 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         outlier_vals=jnp.stack(ov_l) if ov_l else None,
         outlier_idx=jnp.stack(oi_l) if oi_l else None,
         dense=None,
+        dim_order=(jnp.stack(do_l) if do_l else None),
         in_dim=in_dim, out_dim=out_dim, bucket_size=B, chunk_rows=G,
         n_ranks=K, n_experts=E, dtype_name=bcfg.dtype,
     )

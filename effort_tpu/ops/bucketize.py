@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from effort_tpu.config import BucketConfig
-from effort_tpu.ops.layouts import BucketedMatrix, probe_sample_indices
+from effort_tpu.ops.layouts import (BucketedMatrix, pack_positions,
+                                    probe_sample_indices)
 
 
 @partial(jax.jit, static_argnames=("bucket_size",))
@@ -44,16 +45,27 @@ def _to_blocks(x: jax.Array, n_chunks: int, G: int, K: int) -> jax.Array:
     return x.reshape(E * n_chunks * K, G, nb)
 
 
-def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False) -> BucketedMatrix:
+def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
+              act_rms=None) -> BucketedMatrix:
     """Convert dense transposed weights to the bucketized format.
 
     wt: [in_dim, out_dim] or [E, in_dim, out_dim] (multi-expert, the packed
     layout of loader.swift:124 buckets[numExperts, ...]).
+    act_rms: optional [in_dim] typical activation magnitude per input dim
+    (calibration). When given, input dims are permuted so similar-|v| dims
+    share a chunk, which collapses the chunk-level read amplification of
+    the gather kernel (LLM activation outlier dims are persistent).
     """
     wt = jnp.asarray(wt)
     if wt.ndim == 2:
         wt = wt[None]
     E, in_dim, out_dim = wt.shape
+
+    dim_order = None
+    if act_rms is not None:
+        order = jnp.argsort(-jnp.asarray(act_rms, jnp.float32))
+        wt = wt[:, order, :]
+        dim_order = jnp.tile(order.astype(jnp.int32)[None], (E, 1))
     B, G = cfg.bucket_size, cfg.chunk_rows
     assert out_dim % B == 0, (out_dim, B)
     assert in_dim % G == 0, (in_dim, G)
@@ -99,7 +111,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False) -> BucketedMatrix
         raise ValueError(cfg.dtype)
 
     vblocks = _to_blocks(qvals, n_chunks, G, K)
-    pblocks = _to_blocks(pos, n_chunks, G, K)
+    pblocks = pack_positions(_to_blocks(pos, n_chunks, G, K), B)
     # Append one all-zero block: the DMA target for padding slots in the
     # compacted dispatch list (replaces the reference's zeroRange32 padding
     # patch, bucketMul.swift:57-63).
@@ -119,6 +131,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False) -> BucketedMatrix
         outlier_vals=outlier_vals,
         outlier_idx=outlier_idx,
         dense=wt.astype(jnp.bfloat16) if keep_dense else None,
+        dim_order=dim_order,
         in_dim=in_dim,
         out_dim=out_dim,
         bucket_size=B,

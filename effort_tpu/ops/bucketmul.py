@@ -43,6 +43,8 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     K, G, B = bm.n_ranks, bm.chunk_rows, bm.bucket_size
     nb = bm.n_buckets
     expert = jnp.asarray(expert, jnp.int32)
+    if bm.dim_order is not None:
+        v = v[bm.dim_order[expert]]
     cutoff = compute_cutoff(v, bm.probes[expert], bm.probe_dims, effort)
     n = row_rank_counts(v, bm.stats[expert], cutoff)        # [in]
     ranks = jnp.arange(K, dtype=jnp.int32)
@@ -51,7 +53,8 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
 
     # blocks [E*NB+1, G, nb] -> per-rank views [K][in, nb]
     vals = bm.vals[:-1].reshape(bm.n_experts, bm.n_chunks, K, G, nb)
-    pos = bm.pos[:-1].reshape(bm.n_experts, bm.n_chunks, K, G, nb)
+    pos = bm.pos_unpacked()[:-1].reshape(bm.n_experts, bm.n_chunks, K, G,
+                                         nb)
     vals = vals[expert]
     pos = pos[expert]
 
@@ -86,21 +89,27 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         else:
             impl = "jnp"
     if impl == "dense":
-        return dense_matvec(v, bm.dense[jnp.asarray(expert, jnp.int32)])
+        e = jnp.asarray(expert, jnp.int32)
+        if bm.dim_order is not None:  # dense copy stores permuted rows
+            v = v[bm.dim_order[e]]
+        return dense_matvec(v, bm.dense[e])
     if impl == "jnp":
         return bucket_matvec_jnp(bm, v, effort, expert)
     if impl == "pallas":
-        from effort_tpu.kernels.gather_mul import gather_bucket_matvec
+        from effort_tpu.kernels.gather_dma import gather_matvec_dma
         budget = block_budget if block_budget is not None else \
-            min(1.0, effort * 1.3 + 0.02)
+            min(1.0, effort * 2.6 + 0.05)
         max_blocks = _round_up(
-            max(1, int(bm.blocks_per_expert * budget)), 8)
+            max(8, int(bm.blocks_per_expert * budget)), 8)
+        max_blocks = min(max_blocks,
+                         _round_up(bm.blocks_per_expert, 8))
         sel = select_blocks(bm, v, effort, expert, max_blocks)
-        y = gather_bucket_matvec(bm, sel)
+        y = gather_matvec_dma(bm, sel)
         if bm.outlier_vals is not None:
             e = jnp.asarray(expert, jnp.int32)
+            vp = v if bm.dim_order is None else v[bm.dim_order[e]]
             ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
-            y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]])
+            y = y.at[oi[:, 1]].add(ov * vp[oi[:, 0]])
         return y
     raise ValueError(impl)
 

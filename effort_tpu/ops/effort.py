@@ -68,6 +68,8 @@ def select_blocks(bm: BucketedMatrix, v: jax.Array, effort,
     K, G = bm.n_ranks, bm.chunk_rows
     n_chunks = bm.n_chunks
     expert = jnp.asarray(expert, jnp.int32)
+    if bm.dim_order is not None:
+        v = v[bm.dim_order[expert]]
 
     probes = bm.probes[expert]
     stats = bm.stats[expert]                      # [in, K]

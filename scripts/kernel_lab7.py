@@ -36,16 +36,17 @@ def main():
     budget = min(1.0, effort * 1.3 + 0.02)
     max_blocks = ((int(NB * budget) + 7) // 8) * 8
 
-    # ---- correctness vs jnp oracle (on-device, single call) ----
+    # ---- correctness vs jnp oracle (on-device, single call; full cap so
+    # clamping cannot mask kernel bugs) ----
     v = jax.random.normal(jax.random.key(7), (N,), jnp.float32)
-    sel = select_blocks(bm, v, effort, 0, max_blocks)
+    sel = select_blocks(bm, v, effort, 0, NB)
     y2 = np.asarray(gather_matvec_dma(bm, sel, pos_packed, slots))
     y1 = np.asarray(bucket_matvec_jnp(bm, v, effort))
     cs = y1 @ y2 / (np.linalg.norm(y1) * np.linalg.norm(y2) + 1e-30)
     err = np.abs(y1 - y2).max()
-    clamped = int(sel.n_blocks) >= max_blocks
+    clamped = int(sel.n_blocks) >= NB
     print(f"parity vs jnp: cos={cs:.6f} maxerr={err:.2e} "
-          f"(n_blocks={int(sel.n_blocks)}/{max_blocks}"
+          f"(n_blocks={int(sel.n_blocks)}/{NB}"
           f"{' CLAMPED' if clamped else ''})", flush=True)
 
     # ---- timing ----

@@ -1,0 +1,52 @@
+"""HTTP server end-to-end on the tiny model."""
+
+import asyncio
+import json
+import urllib.request
+
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.models.transformer import init_random_weights
+from effort_tpu.models.generate import Engine
+from effort_tpu.serving.server import EffortServer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_test_model()
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+    return Engine(w, cfg, impl="jnp", pad_to=8)
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_server_endpoints(engine):
+    async def run():
+        srv = EffortServer(engine, port=18089)
+        await srv.start()
+        loop = asyncio.get_event_loop()
+        try:
+            st, body = await loop.run_in_executor(
+                None, _get, 18089, "/health")
+            assert st == 200 and body["status"] == "ok"
+
+            st, body = await loop.run_in_executor(
+                None, _get, 18089, "/q?query=hello&effort=60&numtokens=4")
+            assert st == 200
+            assert "reply" in body and body["effort"] == 0.6
+
+            st, body = await loop.run_in_executor(
+                None, _get, 18089, "/q?tokids=1,5,9&effort=100")
+            assert st == 200 and len(body["predictions"]) == 3
+
+            st, body = await loop.run_in_executor(
+                None, _get, 18089, "/stats")
+            assert body["requests"] >= 3
+        finally:
+            await srv.stop()
+    asyncio.run(run())
