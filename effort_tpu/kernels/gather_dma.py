@@ -63,8 +63,8 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
         vals_dma(b, slot).wait()
         pos_dma(b, slot).wait()
         bid = ids_ref[b]
-        k = jax.lax.rem(bid, K)
-        g = jax.lax.rem(bid // K, n_chunks)
+        k = jax.lax.rem(bid // n_chunks, K)
+        g = jax.lax.rem(bid, n_chunks)
         u = u_ref[k, g, :]                        # [G]
         c = vscr[slot].astype(jnp.float32) * u[:, None]
         packed = pscr[slot].astype(jnp.int32)     # [G, OB//per_byte]
@@ -94,7 +94,7 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
     B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
     bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B]
     max_blocks = sel.block_ids.shape[0]
-    ids_sorted = jnp.sort(sel.block_ids)
+    ids_sorted = sel.block_ids  # select_blocks emits ascending ids
     kernel = functools.partial(_kernel, slots, B, K, bm.n_chunks,
                                max_blocks, bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(

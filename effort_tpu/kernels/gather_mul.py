@@ -42,8 +42,8 @@ def _kernel(B: int, K: int, n_chunks: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     bid = bids_ref[b]
-    k = jax.lax.rem(bid, K)
-    g = jax.lax.rem(bid // K, n_chunks)
+    k = jax.lax.rem(bid // n_chunks, K)
+    g = jax.lax.rem(bid, n_chunks)
 
     u = u_ref[k, g, :]                                  # [G] f32
     vals = vals_ref[0].astype(jnp.float32)              # [G, OB]
@@ -68,10 +68,7 @@ def _gather_call(vals, pos, block_ids, u_scaled, *, B, K, G, OB, n_chunks,
     # nested jit (closed_call) trips a lowering-cache KeyError in this
     # jax version when combined with pallas lowerings.
     max_blocks = block_ids.shape[0]
-    # Sorted ids: the DMA engine handles monotonically increasing HBM
-    # addresses far better than priority-ordered (random) ones; pads
-    # (zero_block_id = max id) sort to the end.
-    block_ids = jnp.sort(block_ids)
+    # select_blocks emits ascending ids (DMA-friendly); pads at the end.
     # buffer_count > 2 hides the per-block DMA latency of the gathered
     # (data-dependent) block stream.
     mode = (pl.Buffered(buffer_count=bufs, use_lookahead=False)

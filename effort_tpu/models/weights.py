@@ -79,8 +79,9 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     K = K_stored
     if percent_load is not None and percent_load < 1.0:
         K = max(1, int(round(percent_load * K_stored)))
-        keep = np.zeros((in_dim // G, K_stored), bool)
-        keep[:, :K] = True
+        # rank-major blocks: first K*n_chunks block rows are ranks < K
+        keep = np.zeros((K_stored, in_dim // G), bool)
+        keep[:K, :] = True
         keep = keep.reshape(-1)
         vals_l = [v[keep] for v in vals_l]
         pos_l = [p[keep] for p in pos_l]

@@ -37,11 +37,16 @@ def _sort_buckets(wt: jax.Array, bucket_size: int):
 
 
 def _to_blocks(x: jax.Array, n_chunks: int, G: int, K: int) -> jax.Array:
-    """[E, in, K, nb] -> [E*NB, G, nb] with block id = ((e*nchunks)+g)*K + k."""
+    """[E, in, K, nb] -> [E*NB, G, nb], RANK-MAJOR block ids:
+    id = (e*K + k) * n_chunks + g. Rank-major keeps same-rank blocks
+    contiguous (dense DMA runs for low ranks) and makes ascending-id
+    compaction drop deepest ranks first on capacity overflow — the same
+    global importance ordering the reference's rank-major bucket rows have
+    (loader.swift percentLoad truncation relies on it too)."""
     E, in_dim, k_dim, nb = x.shape
     assert k_dim == K
     x = x.reshape(E, n_chunks, G, K, nb)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4))  # [E, nchunks, K, G, nb]
+    x = jnp.transpose(x, (0, 3, 1, 2, 4))  # [E, K, nchunks, G, nb]
     return x.reshape(E * n_chunks * K, G, nb)
 
 

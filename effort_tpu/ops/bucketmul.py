@@ -51,17 +51,17 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     u = v[None, :] * (ranks[:, None] < n[None, :])          # [K, in]
     u = _dequant_u(bm, u, expert)
 
-    # blocks [E*NB+1, G, nb] -> per-rank views [K][in, nb]
-    vals = bm.vals[:-1].reshape(bm.n_experts, bm.n_chunks, K, G, nb)
-    pos = bm.pos_unpacked()[:-1].reshape(bm.n_experts, bm.n_chunks, K, G,
+    # blocks [E*NB+1, G, nb] -> per-rank views [K][in, nb] (rank-major)
+    vals = bm.vals[:-1].reshape(bm.n_experts, K, bm.n_chunks, G, nb)
+    pos = bm.pos_unpacked()[:-1].reshape(bm.n_experts, K, bm.n_chunks, G,
                                          nb)
     vals = vals[expert]
     pos = pos[expert]
 
     y = jnp.zeros((nb, B), jnp.float32)
     for k in range(K):  # K is small & static; keeps the one-hot peak memory
-        vk = vals[:, k].reshape(bm.in_dim, nb).astype(jnp.float32)
-        pk = pos[:, k].reshape(bm.in_dim, nb).astype(jnp.int32)
+        vk = vals[k].reshape(bm.in_dim, nb).astype(jnp.float32)
+        pk = pos[k].reshape(bm.in_dim, nb).astype(jnp.int32)
         contrib = u[k][:, None] * vk                         # [in, nb]
         oh = jax.nn.one_hot(pk, B, dtype=jnp.float32)        # [in, nb, B]
         y = y + jnp.einsum("ij,ijp->jp", contrib, oh)

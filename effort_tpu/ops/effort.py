@@ -84,21 +84,27 @@ def select_blocks(bm: BucketedMatrix, v: jax.Array, effort,
         u = u * bm.scales[expert].T                          # [K, in]
     u_scaled = u.reshape(K, n_chunks, G).astype(jnp.float32)
 
-    # Block (g, k) is needed iff any row in chunk g selects rank k, i.e.
-    # max_i n_i > k. Priority for capacity clamping = block importance score.
-    s = stats * jnp.abs(v)[:, None]                          # [in, K]
-    s_chunk = jnp.max(s.reshape(n_chunks, G, K), axis=1)     # [n_chunks, K]
+    # Block (k, g) is needed iff any row in chunk g selects rank k, i.e.
+    # max_i n_i > k. Compaction by exclusive cumsum over the RANK-MAJOR
+    # flag order (matching the block-id layout) — no top_k: ids come out
+    # ascending (DMA-friendly) and capacity overflow drops the deepest
+    # ranks first, mirroring the reference's global importance order.
     maxn = jnp.max(n.reshape(n_chunks, G), axis=1)           # [n_chunks]
-    bneed = maxn[:, None] > ranks[None, :]                   # [n_chunks, K]
-
-    priority = jnp.where(bneed, s_chunk, -jnp.inf).reshape(-1)
-    mb = min(max_blocks, priority.shape[0])
-    top_p, top_idx = jax.lax.top_k(priority, mb)
-    real = top_p > -jnp.inf
-    ids = jnp.where(real, expert * bm.blocks_per_expert + top_idx,
-                    bm.zero_block_id).astype(jnp.int32)
-    if mb < max_blocks:
-        ids = jnp.concatenate(
-            [ids, jnp.full((max_blocks - mb,), bm.zero_block_id, jnp.int32)])
+    bneed = ranks[:, None] < maxn[None, :]                   # [K, n_chunks]
+    flags = bneed.reshape(-1).astype(jnp.int32)              # rank-major
+    nb_total = flags.shape[0]
+    cum = jnp.cumsum(flags)
+    slot = jnp.where(flags == 1, cum - 1, max_blocks)
+    slot = jnp.minimum(slot, max_blocks)                     # overflow bin
+    gids = (expert * bm.blocks_per_expert
+            + jnp.arange(nb_total, dtype=jnp.int32))
+    ids_full = jnp.full((max_blocks + 1,), bm.zero_block_id, jnp.int32)
+    ids_full = ids_full.at[slot].set(
+        jnp.where(flags == 1, gids, bm.zero_block_id), mode="drop")
+    ids = ids_full[:max_blocks]
+    # pads were overwritten wherever slots landed; rebuild pad tail
+    n_real = jnp.minimum(cum[-1], max_blocks)
+    tail = jnp.arange(max_blocks, dtype=jnp.int32) >= n_real
+    ids = jnp.where(tail, bm.zero_block_id, ids)
     return BlockSelection(block_ids=ids, u_scaled=u_scaled,
-                          n_blocks=jnp.sum(real.astype(jnp.int32)))
+                          n_blocks=cum[-1])

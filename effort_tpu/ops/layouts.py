@@ -120,11 +120,11 @@ class BucketedMatrix:
         """
         E, K, G, B = self.n_experts, self.n_ranks, self.chunk_rows, self.bucket_size
         nb = self.n_buckets
-        vals = self.vals[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
+        vals = self.vals[:-1].reshape(E, K, self.n_chunks, G, nb)[expert]
         pos_all = self.pos_unpacked()
-        pos = pos_all[:-1].reshape(E, self.n_chunks, K, G, nb)[expert]
-        vals = jnp.transpose(vals, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
-        pos = jnp.transpose(pos, (0, 2, 1, 3)).reshape(self.in_dim, K, nb)
+        pos = pos_all[:-1].reshape(E, K, self.n_chunks, G, nb)[expert]
+        vals = jnp.transpose(vals, (1, 2, 0, 3)).reshape(self.in_dim, K, nb)
+        pos = jnp.transpose(pos, (1, 2, 0, 3)).reshape(self.in_dim, K, nb)
         vals = _dequant(vals, self.scales[expert] if self.scales is not None else None)
         # out[i, j*B + pos[i,k,j]] += vals[i,k,j]
         one_hot = jax.nn.one_hot(pos.astype(jnp.int32), B, dtype=vals.dtype)

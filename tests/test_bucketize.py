@@ -24,10 +24,10 @@ def test_matches_oracle(rng, B):
     o_vals, o_pos, o_stats, o_probes, o_pdims = bucketize_oracle(wt, B)
 
     K, G, nb = bm.n_ranks, bm.chunk_rows, bm.n_buckets
-    vals = np.asarray(bm.vals[:-1], np.float32).reshape(IN // G, K, G, nb)
-    vals = np.transpose(vals, (0, 2, 1, 3)).reshape(IN, K, nb)
-    pos = np.asarray(bm.pos_unpacked()[:-1]).reshape(IN // G, K, G, nb)
-    pos = np.transpose(pos, (0, 2, 1, 3)).reshape(IN, K, nb)
+    vals = np.asarray(bm.vals[:-1], np.float32).reshape(K, IN // G, G, nb)
+    vals = np.transpose(vals, (1, 2, 0, 3)).reshape(IN, K, nb)
+    pos = np.asarray(bm.pos_unpacked()[:-1]).reshape(K, IN // G, G, nb)
+    pos = np.transpose(pos, (1, 2, 0, 3)).reshape(IN, K, nb)
 
     np.testing.assert_allclose(vals, o_vals, atol=5e-4)  # bf16 storage
     np.testing.assert_array_equal(pos, o_pos)
