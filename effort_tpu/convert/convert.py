@@ -87,8 +87,8 @@ def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
     if bm.outlier_vals is not None:
         writer.add(prefix + ".outlier_vals", np.asarray(bm.outlier_vals[0]))
         writer.add(prefix + ".outlier_idx", np.asarray(bm.outlier_idx[0]))
-    if bm.dim_order is not None:
-        writer.add(prefix + ".dim_order", np.asarray(bm.dim_order[0]))
+    if bm.seg_order is not None:
+        writer.add(prefix + ".seg_order", np.asarray(bm.seg_order[0]))
     if store_core:
         # dense copy, like the reference's optional "core" tensors
         writer.add(prefix + ".core", _to_bits_bf16(wt), bf16_bits=True)

@@ -63,8 +63,8 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         if p + ".outlier_vals" in reader:
             ov_l.append(_arr(reader, p + ".outlier_vals"))
             oi_l.append(_arr(reader, p + ".outlier_idx"))
-        if p + ".dim_order" in reader:
-            do_l.append(_arr(reader, p + ".dim_order"))
+        if p + ".seg_order" in reader:
+            do_l.append(_arr(reader, p + ".seg_order"))
 
     stats = jnp.stack(stats_l)                     # [E, in, K_stored]
     E, in_dim, K_stored = stats.shape
@@ -101,9 +101,10 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         outlier_vals=jnp.stack(ov_l) if ov_l else None,
         outlier_idx=jnp.stack(oi_l) if oi_l else None,
         dense=None,
-        dim_order=(jnp.stack(do_l) if do_l else None),
+        seg_order=(jnp.stack(do_l) if do_l else None),
         in_dim=in_dim, out_dim=out_dim, bucket_size=B, chunk_rows=G,
         n_ranks=K, n_experts=E, dtype_name=bcfg.dtype,
+        perm_segment=max(1, G // 4),
     )
 
 

@@ -51,7 +51,7 @@ def _to_blocks(x: jax.Array, n_chunks: int, G: int, K: int) -> jax.Array:
 
 
 def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
-              act_rms=None) -> BucketedMatrix:
+              act_rms=None, perm_segment: int = 0) -> BucketedMatrix:
     """Convert dense transposed weights to the bucketized format.
 
     wt: [in_dim, out_dim] or [E, in_dim, out_dim] (multi-expert, the packed
@@ -66,11 +66,21 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         wt = wt[None]
     E, in_dim, out_dim = wt.shape
 
-    dim_order = None
+    seg_order = None
     if act_rms is not None:
-        order = jnp.argsort(-jnp.asarray(act_rms, jnp.float32))
-        wt = wt[:, order, :]
-        dim_order = jnp.tile(order.astype(jnp.int32)[None], (E, 1))
+        # segment-granular permutation: contiguous segments keep the
+        # runtime permute a fast row-gather (see layouts.permute_v)
+        seg = perm_segment or max(1, cfg.chunk_rows // 4)
+        assert in_dim % seg == 0
+        keys = jnp.mean(jnp.asarray(act_rms, jnp.float32)
+                        .reshape(-1, seg), axis=1)
+        sorder = jnp.argsort(-keys).astype(jnp.int32)
+        row_order = (sorder[:, None] * seg
+                     + jnp.arange(seg)).reshape(-1)
+        wt = wt[:, row_order, :]
+        seg_order = jnp.tile(sorder[None], (E, 1))
+    else:
+        seg = perm_segment or 1
     B, G = cfg.bucket_size, cfg.chunk_rows
     assert out_dim % B == 0, (out_dim, B)
     assert in_dim % G == 0, (in_dim, G)
@@ -136,7 +146,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         outlier_vals=outlier_vals,
         outlier_idx=outlier_idx,
         dense=wt.astype(jnp.bfloat16) if keep_dense else None,
-        dim_order=dim_order,
+        seg_order=seg_order,
         in_dim=in_dim,
         out_dim=out_dim,
         bucket_size=B,
@@ -144,6 +154,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         n_ranks=K,
         n_experts=E,
         dtype_name=cfg.dtype,
+        perm_segment=seg,
     )
 
 

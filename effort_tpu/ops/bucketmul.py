@@ -37,15 +37,18 @@ def _dequant_u(bm: BucketedMatrix, u: jax.Array, expert) -> jax.Array:
 
 
 def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
-                      expert=0) -> jax.Array:
+                      expert=0, exact_cutoff: bool = True) -> jax.Array:
     """Exact bucketMul semantics as dense XLA ops (reads all weights; used
     for correctness/quality, not speed)."""
     K, G, B = bm.n_ranks, bm.chunk_rows, bm.bucket_size
     nb = bm.n_buckets
     expert = jnp.asarray(expert, jnp.int32)
-    if bm.dim_order is not None:
-        v = v[bm.dim_order[expert]]
-    cutoff = compute_cutoff(v, bm.probes[expert], bm.probe_dims, effort)
+    v = bm.permute_v(v, expert)
+    from effort_tpu.ops.effort import compute_cutoff_exact
+    from effort_tpu.ops.layouts import strided_sample
+    cf = compute_cutoff_exact if exact_cutoff else compute_cutoff
+    cutoff = cf(strided_sample(v, bm.in_dim, bm.probes.shape[1]),
+                bm.probes[expert], effort)
     n = row_rank_counts(v, bm.stats[expert], cutoff)        # [in]
     ranks = jnp.arange(K, dtype=jnp.int32)
     u = v[None, :] * (ranks[:, None] < n[None, :])          # [K, in]
@@ -90,9 +93,8 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
             impl = "jnp"
     if impl == "dense":
         e = jnp.asarray(expert, jnp.int32)
-        if bm.dim_order is not None:  # dense copy stores permuted rows
-            v = v[bm.dim_order[e]]
-        return dense_matvec(v, bm.dense[e])
+        # dense copy stores permuted rows
+        return dense_matvec(bm.permute_v(v, e), bm.dense[e])
     if impl == "jnp":
         return bucket_matvec_jnp(bm, v, effort, expert)
     if impl == "pallas":
@@ -107,7 +109,7 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         y = gather_matvec_dma(bm, sel)
         if bm.outlier_vals is not None:
             e = jnp.asarray(expert, jnp.int32)
-            vp = v if bm.dim_order is None else v[bm.dim_order[e]]
+            vp = bm.permute_v(v, e)
             ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
             y = y.at[oi[:, 1]].add(ov * vp[oi[:, 0]])
         return y

@@ -3,9 +3,11 @@
 This module is the TPU-native replacement for the reference's
 findCutoff32 + prepareDispatch pair (bucketMul.metal:141-247, 47-79):
 
-  - cutoff: an exact sorted quantile of the sampled |v * probe| scores
-    (the reference runs a tolerance-terminated threadgroup binary search —
-    nondeterministic to +-3 counts; ours is exact and deterministic).
+  - cutoff: a quantile of the sampled |v * probe| scores via a two-level
+    vectorized threshold search (deterministic, ~1% value accuracy; the
+    reference's threadgroup binary search is tolerance-terminated and
+    nondeterministic to +-3 counts). A sort-based exact version exists for
+    tests.
   - selection: the rule stats[i,k]*|v_i| > cutoff is monotone in k because
     stats (mean |w| of rank-k elements) is non-increasing in k, so the
     selected set per input row is a rank PREFIX n_i. We compute n_i densely
@@ -24,17 +26,54 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from effort_tpu.ops.layouts import BucketedMatrix
+from effort_tpu.ops.layouts import BucketedMatrix, strided_sample
 
 
-def compute_cutoff(v: jax.Array, probes: jax.Array, probe_dims: jax.Array,
+def compute_cutoff(v_probe_sample: jax.Array, probes: jax.Array,
                    effort) -> jax.Array:
-    """Exact quantile cutoff. v:[in], probes:[P] (one expert), effort scalar.
+    """Approximate quantile cutoff: a value with ~effort*P of the sampled
+    |v[probe_dims]*probes| above it (within ~1% in value).
 
-    Returns the k-th largest of |v[probe_dims]*probes| with
-    k = clip(round(P*effort), 1, P), so ~effort*P samples lie above.
+    Two-level geometric threshold counting instead of a sort: XLA sorts of
+    even 4096 elements cost ~150us on TPU, while two broadcast-compare
+    count passes are ~2us. Fidelity matches the reference's
+    tolerance-terminated binary search (findCutoff32,
+    bucketMul.metal:199-246), which also stops at approximate counts.
     """
-    scores = jnp.abs(v[probe_dims] * probes)
+    scores = jnp.abs(v_probe_sample * probes)
+    P = scores.shape[0]
+    k = jnp.clip(jnp.round(P * jnp.asarray(effort, jnp.float32)), 1.0,
+                 float(P))
+
+    m = jnp.max(scores) + 1e-30
+    NL = 32
+    ratios = jnp.float32(0.62) ** jnp.arange(1, NL + 1, dtype=jnp.float32)
+
+    def level(lo_val, hi_val):
+        # thresholds geometric/linear between hi and lo; count above each
+        t = hi_val * ratios                                   # [NL]
+        counts = jnp.sum(scores[None, :] > t[:, None], axis=1)  # [NL]
+        # first threshold whose count >= k (counts increase as t decreases)
+        idx = jnp.argmax(counts >= k)
+        hit = counts[idx] >= k
+        t_lo = jnp.where(hit, t[idx], lo_val)
+        t_hi = jnp.where(hit & (idx > 0), t[jnp.maximum(idx - 1, 0)],
+                         hi_val)
+        return t_lo, t_hi
+
+    lo, hi = level(jnp.float32(0.0), m)
+    # refine linearly inside [lo, hi]
+    fr = jnp.arange(1, NL + 1, dtype=jnp.float32) / NL
+    t2 = hi - (hi - lo) * fr                                  # [NL] desc
+    counts2 = jnp.sum(scores[None, :] > t2[:, None], axis=1)
+    idx2 = jnp.argmax(counts2 >= k)
+    hit2 = counts2[idx2] >= k
+    return jnp.where(hit2, t2[idx2], lo)
+
+
+def compute_cutoff_exact(v_probe_sample, probes, effort):
+    """Sort-based exact version (tests / oracle comparisons)."""
+    scores = jnp.abs(v_probe_sample * probes)
     P = scores.shape[0]
     k = jnp.clip(jnp.round(P * jnp.asarray(effort, jnp.float32)), 1, P
                  ).astype(jnp.int32)
@@ -59,7 +98,8 @@ class BlockSelection(NamedTuple):
 
 
 def select_blocks(bm: BucketedMatrix, v: jax.Array, effort,
-                  expert, max_blocks: int) -> BlockSelection:
+                  expert, max_blocks: int,
+                  exact_cutoff: bool = False) -> BlockSelection:
     """Build the compacted block list + masked/scaled input for one matvec.
 
     expert: traced int32 scalar (index into the packed expert axis, like the
@@ -68,12 +108,13 @@ def select_blocks(bm: BucketedMatrix, v: jax.Array, effort,
     K, G = bm.n_ranks, bm.chunk_rows
     n_chunks = bm.n_chunks
     expert = jnp.asarray(expert, jnp.int32)
-    if bm.dim_order is not None:
-        v = v[bm.dim_order[expert]]
+    v = bm.permute_v(v, expert)
 
     probes = bm.probes[expert]
     stats = bm.stats[expert]                      # [in, K]
-    cutoff = compute_cutoff(v, probes, bm.probe_dims, effort)
+    cf = compute_cutoff_exact if exact_cutoff else compute_cutoff
+    cutoff = cf(strided_sample(v, bm.in_dim, probes.shape[0]), probes,
+                effort)
     n = row_rank_counts(v, stats, cutoff)         # [in]
 
     # Masked input, with int8/int4 dequant scales folded in so the kernel is

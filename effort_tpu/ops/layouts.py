@@ -36,10 +36,10 @@ import numpy as np
     jax.tree_util.register_dataclass,
     data_fields=[
         "vals", "pos", "stats", "probes", "probe_dims", "scales",
-        "outlier_vals", "outlier_idx", "dense", "dim_order",
+        "outlier_vals", "outlier_idx", "dense", "seg_order",
     ],
     meta_fields=["in_dim", "out_dim", "bucket_size", "chunk_rows",
-                 "n_ranks", "n_experts", "dtype_name"],
+                 "n_ranks", "n_experts", "dtype_name", "perm_segment"],
 )
 @dataclasses.dataclass
 class BucketedMatrix:
@@ -63,11 +63,14 @@ class BucketedMatrix:
               (calcOutliers, bucketMulQ4.metal:13-21; q4_draft.py:70-108).
       dense:  optional [E, in_dim, out_dim] bf16 — dense copy ("core" in
               loader.swift:46-166) for the effort=1.0 fast path and testing.
-      dim_order: optional [E, in_dim] int32 — activation-calibrated input
-              permutation applied at convert time (rows of wt reordered so
-              dims with similar typical |v| cluster into the same chunk;
-              collapses chunk-level read amplification). Runtime applies
-              v' = v[dim_order] before selection.
+      seg_order: optional [E, in_dim // perm_segment] int32 — activation-
+              calibrated input permutation at SEGMENT granularity (rows of
+              wt reordered in contiguous segments so dims with similar
+              typical |v| cluster into the same chunk; collapses
+              chunk-level read amplification). Segment granularity keeps
+              the runtime permute a fast contiguous row-gather
+              (v.reshape(-1, seg)[seg_order]) instead of a slow 1D
+              element gather.
     """
 
     vals: jax.Array
@@ -79,7 +82,7 @@ class BucketedMatrix:
     outlier_vals: Optional[jax.Array]
     outlier_idx: Optional[jax.Array]
     dense: Optional[jax.Array]
-    dim_order: Optional[jax.Array]
+    seg_order: Optional[jax.Array]
     in_dim: int
     out_dim: int
     bucket_size: int
@@ -87,6 +90,7 @@ class BucketedMatrix:
     n_ranks: int
     n_experts: int
     dtype_name: str
+    perm_segment: int = 1
 
     @property
     def n_buckets(self) -> int:
@@ -103,6 +107,21 @@ class BucketedMatrix:
     @property
     def zero_block_id(self) -> int:
         return self.n_experts * self.blocks_per_expert
+
+    def permute_v(self, v: jax.Array, expert) -> jax.Array:
+        """Apply the calibrated input permutation (fast row-gather)."""
+        if self.seg_order is None:
+            return v
+        seg = self.perm_segment
+        return v.reshape(-1, seg)[self.seg_order[expert]].reshape(-1)
+
+    def dim_order_full(self, expert=0) -> Optional[jax.Array]:
+        """Full row permutation derived from seg_order (oracle paths)."""
+        if self.seg_order is None:
+            return None
+        seg = self.perm_segment
+        base = self.seg_order[expert][:, None] * seg + jnp.arange(seg)
+        return base.reshape(-1).astype(jnp.int32)
 
     @property
     def pos_bits(self) -> int:
@@ -136,16 +155,16 @@ class BucketedMatrix:
             oval = self.outlier_vals[expert]
             flat = flat.at[oidx[:, 0] * self.out_dim + oidx[:, 1]].add(oval)
             dense = flat.reshape(self.in_dim, self.out_dim)
-        if self.dim_order is not None:
+        order = self.dim_order_full(expert)
+        if order is not None:
             # rows were permuted at convert time; invert for the original
-            inv = jnp.argsort(self.dim_order[expert])
-            dense = dense[inv]
+            dense = dense[jnp.argsort(order)]
         return dense
 
     def memory_bytes(self) -> int:
         total = 0
         for a in (self.vals, self.pos, self.stats, self.probes, self.scales,
-                  self.outlier_vals, self.outlier_idx, self.dim_order):
+                  self.outlier_vals, self.outlier_idx, self.seg_order):
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
@@ -163,14 +182,24 @@ def probe_sample_indices(in_dim: int, out_dim: int, n_probes: int) -> np.ndarray
     """Deterministic (input-dim, column) sample used for probes.
 
     Reference samples the matrix diagonal (getProbes, convert.metal:14-22;
-    q4_draft.py:240-241), hard-coded to 4096 probes. We sample evenly spaced
-    input dims (covering the whole range even when in_dim > n_probes, which
-    the reference's fixed-4096 scheme does not for w2's 14336 input dims).
+    q4_draft.py:240-241), hard-coded to 4096 probes. We sample UNIFORMLY
+    STRIDED input dims (covers the whole range even when in_dim > n_probes,
+    which the reference's fixed-4096 scheme does not for w2's 14336 input
+    dims) — and a uniform stride lets the runtime fetch v[probe_dims] with
+    a fast strided slice instead of a gather.
     """
-    n = min(n_probes, in_dim)
-    dims = (np.arange(n, dtype=np.int64) * in_dim) // n
+    stride = max(1, -(-in_dim // n_probes))
+    n = in_dim // stride
+    dims = np.arange(n, dtype=np.int64) * stride
     cols = dims % out_dim
     return np.stack([dims, cols], axis=1).astype(np.int32)
+
+
+def strided_sample(v: jax.Array, in_dim: int, n_probes: int) -> jax.Array:
+    """v[probe_dims] as a strided slice (matches probe_sample_indices)."""
+    stride = max(1, -(-in_dim // n_probes))
+    n = in_dim // stride
+    return jax.lax.slice(v, (0,), (n * stride,), (stride,))
 
 
 def pack_positions(pos: jax.Array, bucket_size: int) -> jax.Array:

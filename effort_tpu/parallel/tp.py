@@ -138,7 +138,7 @@ def make_tp_weights(cfg: ModelConfig, bcfg: BucketConfig, n_tp: int,
 
 
 _REPLICATED_LEAVES = {"attn_norm", "ffn_norm", "tok_embeddings", "norm",
-                      "ffn_gate", "probe_dims"}
+                      "ffn_gate", "probe_dims"}  # seg_order shards with tp
 
 
 def tp_specs(w_tp: ModelWeights):

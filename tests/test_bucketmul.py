@@ -46,7 +46,8 @@ def test_pallas_interpret_matches_jnp(rng, B, effort):
     wt, v, bm = _setup(rng, B=B)
     y_jnp = np.asarray(bucket_matvec_jnp(bm, jnp.asarray(v), effort))
     max_blocks = bm.blocks_per_expert  # no clamping in this test
-    sel = select_blocks(bm, jnp.asarray(v), effort, 0, max_blocks)
+    sel = select_blocks(bm, jnp.asarray(v), effort, 0, max_blocks,
+                        exact_cutoff=True)
     y_pal = np.asarray(gather_bucket_matvec(bm, sel, interpret=True))
     np.testing.assert_allclose(y_pal, y_jnp, atol=2e-3)
 
@@ -77,6 +78,22 @@ def test_quantized_quality(rng, dtype):
     y_dense = np.asarray(v @ wt)
     y = bucket_matvec_jnp(bm, jnp.asarray(v), 1.0)
     assert cossim(y, y_dense) > 0.995
+
+
+def test_fast_cutoff_matches_exact(rng):
+    """Approximate threshold-search cutoff selects within ~3% of exact."""
+    from effort_tpu.ops.effort import (compute_cutoff, compute_cutoff_exact,
+                                       row_rank_counts)
+    wt, v, bm = _setup(rng, B=8)
+    v = jnp.asarray(v)
+    from effort_tpu.ops.layouts import strided_sample
+    vs_ = strided_sample(v, bm.in_dim, bm.probes.shape[1])
+    for e in (0.1, 0.25, 0.5, 0.9):
+        c_f = float(compute_cutoff(vs_, bm.probes[0], e))
+        c_e = float(compute_cutoff_exact(vs_, bm.probes[0], e))
+        n_f = int(row_rank_counts(v, bm.stats[0], c_f).sum())
+        n_e = int(row_rank_counts(v, bm.stats[0], c_e).sum())
+        assert abs(n_f - n_e) <= max(8, 0.05 * n_e), (e, n_f, n_e)
 
 
 def test_block_clamping_degrades_gracefully(rng):

@@ -25,7 +25,7 @@ def test_dim_order_preserves_semantics(rng):
     cfg = BucketConfig(bucket_size=4, chunk_rows=8)
     bm_plain = bucketize(wt, cfg)
     bm_cal = bucketize(wt, cfg, act_rms=r)
-    assert bm_cal.dim_order is not None
+    assert bm_cal.seg_order is not None
     for v in vs[:3]:
         a = np.asarray(bucket_matvec_jnp(bm_plain, jnp.asarray(v), 0.4))
         b = np.asarray(bucket_matvec_jnp(bm_cal, jnp.asarray(v), 0.4))
@@ -49,8 +49,11 @@ def test_dim_order_reduces_block_demand(rng):
                                           NB).n_blocks) for v in vs])
 
     d_plain, d_cal = demand(bm_plain), demand(bm_cal)
-    # with persistent outlier dims, clustering must cut the demand a lot
-    assert d_cal < 0.75 * d_plain, (d_plain, d_cal)
+    # with persistent outlier dims, clustering must cut the demand
+    assert d_cal < 0.82 * d_plain, (d_plain, d_cal)
+    # row-granular permutation clusters even harder
+    bm_row = bucketize(wt, cfg, act_rms=r, perm_segment=1)
+    assert demand(bm_row) < 0.70 * d_plain
 
 
 def test_reconstruct_dense_inverts_permutation(rng):
