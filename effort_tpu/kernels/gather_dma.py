@@ -86,6 +86,12 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
     jax.lax.fori_loop(0, max_blocks, body, 0)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_kernel(S, B, K, n_chunks, max_blocks, pos_bits):
+    return functools.partial(_kernel, S, B, K, n_chunks, max_blocks,
+                             pos_bits)
+
+
 def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
                       slots: int = 8) -> jax.Array:
     """vals/pos gathered via the DMA ring; returns y [out_dim] f32.
@@ -95,8 +101,7 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
     bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B]
     max_blocks = sel.block_ids.shape[0]
     ids_sorted = sel.block_ids  # select_blocks emits ascending ids
-    kernel = functools.partial(_kernel, slots, B, K, bm.n_chunks,
-                               max_blocks, bits)
+    kernel = _make_kernel(slots, B, K, bm.n_chunks, max_blocks, bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

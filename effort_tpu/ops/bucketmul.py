@@ -76,9 +76,18 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     return y
 
 
+def _tile_blocks(bm: BucketedMatrix) -> int:
+    """Streaming tile size (chunks per DMA): ~64-128 rows."""
+    for t in (8, 4, 2, 1):
+        if bm.n_chunks % t == 0:
+            return t
+    return 1
+
+
 def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
                   expert=0, impl: str = "auto",
-                  block_budget: Optional[float] = None) -> jax.Array:
+                  block_budget: Optional[float] = None,
+                  alpha: Optional[float] = None) -> jax.Array:
     """Effort-truncated matvec. `effort` must be a static python float here
     (the pallas path sizes its dispatch capacity from it); use
     bucket_matvec_jnp directly for traced-effort experiments.
@@ -97,16 +106,27 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         return dense_matvec(bm.permute_v(v, e), bm.dense[e])
     if impl == "jnp":
         return bucket_matvec_jnp(bm, v, effort, expert)
-    if impl == "pallas":
-        from effort_tpu.kernels.gather_dma import gather_matvec_dma
-        budget = block_budget if block_budget is not None else \
-            min(1.0, effort * 2.6 + 0.05)
-        max_blocks = _round_up(
-            max(8, int(bm.blocks_per_expert * budget)), 8)
-        max_blocks = min(max_blocks,
-                         _round_up(bm.blocks_per_expert, 8))
-        sel = select_blocks(bm, v, effort, expert, max_blocks)
-        y = gather_matvec_dma(bm, sel)
+    if impl in ("pallas", "stream", "gather"):
+        if impl in ("pallas", "stream"):
+            # production path: per-rank prefix streaming
+            from effort_tpu.kernels.prefix_stream import (select_stream,
+                                                          stream_matvec)
+            alpha = alpha if alpha is not None else 1.4
+            tgb = _tile_blocks(bm)
+            sel = select_stream(bm, v, effort, expert, alpha=alpha,
+                                tile_blocks=tgb)
+            y = stream_matvec(bm, sel, tgb)
+        else:
+            # exact-coverage block gather (alternative path)
+            from effort_tpu.kernels.gather_dma import gather_matvec_dma
+            budget = block_budget if block_budget is not None else \
+                min(1.0, effort * 2.6 + 0.05)
+            max_blocks = _round_up(
+                max(8, int(bm.blocks_per_expert * budget)), 8)
+            max_blocks = min(max_blocks,
+                             _round_up(bm.blocks_per_expert, 8))
+            sel = select_blocks(bm, v, effort, expert, max_blocks)
+            y = gather_matvec_dma(bm, sel)
         if bm.outlier_vals is not None:
             e = jnp.asarray(expert, jnp.int32)
             vp = bm.permute_v(v, e)

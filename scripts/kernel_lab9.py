@@ -58,22 +58,28 @@ def main():
         print(f"{name:8s}: {t*1e6:8.1f} us", flush=True)
         return t
 
+    from effort_tpu.ops.layouts import strided_sample
+
     # cutoff only
     def b_cutoff(v, bmx):
-        c = eff.compute_cutoff(v, bmx.probes[0], bmx.probe_dims, effort)
+        c = eff.compute_cutoff(
+            strided_sample(v, N, bmx.probes.shape[1]), bmx.probes[0],
+            effort)
         return jnp.tanh(v * (1 + c * 1e-6))
     chain(b_cutoff, "cutoff", 1000)
 
     # permute only
     def b_perm(v, bmx):
-        vp = v[bmx.dim_order[0]]
+        vp = bmx.permute_v(v, 0)
         return jnp.tanh(vp)
     chain(b_perm, "permute", 2000)
 
     # rank counts + u (includes cutoff)
     def b_nmask(v, bmx):
-        vp = v[bmx.dim_order[0]]
-        c = eff.compute_cutoff(vp, bmx.probes[0], bmx.probe_dims, effort)
+        vp = bmx.permute_v(v, 0)
+        c = eff.compute_cutoff(
+            strided_sample(vp, N, bmx.probes.shape[1]), bmx.probes[0],
+            effort)
         n = eff.row_rank_counts(vp, bmx.stats[0], c)
         ranks = jnp.arange(bmx.n_ranks, dtype=jnp.int32)
         u = vp[None, :] * (ranks[:, None] < n[None, :])
