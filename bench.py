@@ -24,19 +24,19 @@ def main():
     import effort_tpu  # noqa: F401
     from effort_tpu.config import BucketConfig
     from effort_tpu.ops.bucketize import bucketize
-    from effort_tpu.ops.bucketmul import dense_matvec, bucket_matvec
-    from effort_tpu.ops.effort import select_blocks
-    from effort_tpu.kernels.gather_dma import gather_matvec_dma
+    from effort_tpu.ops.bucketmul import dense_matvec
+    from effort_tpu.kernels.prefix_stream import (select_stream,
+                                                  stream_matvec)
     from effort_tpu.utils.timing import chain_time
 
     IN, OUT = 4096, 14336
-    B, G, SLOTS = 4, 16, 8
-    EFFORT = 0.25
+    B, G, TGB = 4, 16, 8
+    EFFORT, ALPHA = 0.25, 1.3
 
     wt = jax.random.normal(jax.random.key(0), (IN, OUT), jnp.float32) * 0.02
     rms = jnp.exp(jax.random.normal(jax.random.key(5), (IN,)) * 1.2)
     bcfg = BucketConfig(bucket_size=B, chunk_rows=G)
-    bm = bucketize(wt, bcfg, act_rms=rms)
+    bm = bucketize(wt, bcfg, act_rms=rms, perm_segment=1, keep_dense=True)
     wt_bf16 = wt.astype(jnp.bfloat16)
     NB = bm.blocks_per_expert
 
@@ -55,28 +55,29 @@ def main():
     t_dense = chain_time(mk_dense, 8, 104,
                          [(acts(100 + i), wt_bf16) for i in range(12)])
 
-    # measured demand -> static cap
-    demand = max(int(select_blocks(bm, acts(200 + i), EFFORT, 0,
-                                   NB).n_blocks) for i in range(4))
-    cap = min(NB, ((int(demand * 1.08) + 7) // 8) * 8)
-
-    def mk_gather(n):
+    def mk_stream(n):
         @jax.jit
         def run(v, bmx):
             def body(i, v):
-                s = select_blocks(bmx, v, EFFORT, 0, cap)
-                y = gather_matvec_dma(bmx, s, SLOTS)
+                s = select_stream(bmx, v, EFFORT, 0, alpha=ALPHA,
+                                  tile_blocks=TGB)
+                y = stream_matvec(bmx, s, TGB)
                 return jnp.tanh(y[:IN] * 0.02 + y[IN:2 * IN] * 0.01)
             return jax.lax.fori_loop(0, n, body, v)
         return run
-    t_eff = chain_time(mk_gather, 8, 104,
+    t_eff = chain_time(mk_stream, 8, 104,
                        [(acts(300 + i), bm) for i in range(12)])
 
-    # quality check at the benchmark's effort/cap
+    # quality + read fraction at the benchmark's operating point
     v = acts(999)
-    sel = select_blocks(bm, v, EFFORT, 0, cap)
-    y = np.asarray(gather_matvec_dma(bm, sel, SLOTS))
-    yd = np.asarray(dense_matvec(v, wt_bf16))
+    sel = select_stream(bm, v, EFFORT, 0, alpha=ALPHA, tile_blocks=TGB)
+    read_frac = float(sel.cum_tiles[-1]) / (NB // TGB)
+    y = np.asarray(stream_matvec(bm, sel, TGB))
+    yd = np.asarray(dense_matvec(bm.permute_v(v, 0), bm.dense[0])
+                    if bm.dense is not None else
+                    dense_matvec(bm.permute_v(v, 0),
+                                 bm.reconstruct_dense().astype(
+                                     jnp.bfloat16)))
     cos = float(y @ yd / (np.linalg.norm(y) * np.linalg.norm(yd) + 1e-30))
 
     speedup = t_dense / t_eff
@@ -91,8 +92,10 @@ def main():
             "t_effort25_us": round(t_eff * 1e6, 1),
             "cos_sim_vs_dense": round(cos, 4),
             "dense_GBps": round(IN * OUT * 2 / t_dense / 1e9, 1),
-            "block_demand_frac": round(demand / NB, 3),
-            "config": {"B": B, "G": G, "slots": SLOTS, "dtype": "bf16"},
+            "weight_read_frac": round(read_frac, 3),
+            "activations": "synthetic persistent-outlier (lognormal rms)",
+            "config": {"B": B, "G": G, "tile_blocks": TGB, "alpha": ALPHA,
+                       "kernel": "prefix-stream", "dtype": "bf16"},
         },
     }
     print(json.dumps(out))
