@@ -124,8 +124,14 @@ class SafeTensorReader:
         if self._handle is not None:
             self._lib.effort_mmap_close(self._handle)
             self._handle = None
+        self._view = None
         if self._mm is not None:
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                # Zero-copy views handed out by __getitem__ are still alive;
+                # the mapping is released when the last view is GC'd.
+                pass
             self._mm = None
 
 
