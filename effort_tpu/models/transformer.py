@@ -141,7 +141,7 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
 def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
                   k_cache, v_cache, effort: float = 1.0,
                   impl: str = "auto", tp_axis: Optional[str] = None,
-                  collect_h: bool = False):
+                  collect_h: bool = False, ffn_fn=None):
     """One autoregressive step: embeds token_id at position pos, runs all
     layers, returns (logits [vocab], k_cache, v_cache).
 
@@ -152,6 +152,9 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     (parallel/tp.py), cfg must be the LOCAL config and psums are inserted
     after wo and after the FFN down-projection; logits come back
     vocab-sharded.
+
+    ffn_fn: optional override (layer, l, x) -> [dim] replacing the local
+    FFN — used by parallel/ep.py to run expert-sharded MoE FFNs.
     """
     h = w.tok_embeddings[token_id].astype(jnp.float32)
     KV, D = cfg.n_kv_heads, cfg.head_dim
@@ -175,7 +178,10 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
         attn = _attention(q, k_cache[l], v_cache[l], pos, cfg)
         h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
-        h = h + _ffn(layer, l, f_norm, effort, cfg, impl, tp_axis)
+        if ffn_fn is not None:
+            h = h + ffn_fn(layer, l, f_norm)
+        else:
+            h = h + _ffn(layer, l, f_norm, effort, cfg, impl, tp_axis)
         return (h, k_cache, v_cache), h
 
     (h, k_cache, v_cache), h_layers = jax.lax.scan(
