@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from effort_tpu.config import ModelConfig
-from effort_tpu.models.transformer import (ModelWeights, forward_token,
-                                           make_kv_cache)
+from effort_tpu.models.transformer import (ModelWeights, forward_seq,
+                                           forward_token, make_kv_cache)
 
 
 @dataclasses.dataclass
@@ -91,31 +91,98 @@ def _prompt_logits_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
     return last_logits, preds.astype(jnp.int32)
 
 
+def _prefill_decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
+                         prompt_len, n_new, effort: float, impl: str,
+                         eos_id: int, prefill_impl: str = "auto"):
+    """Batched-prefill generation: the prompt runs through forward_seq in
+    ONE pass (MXU matmuls over [P, dim]), then n_new greedy decode steps.
+
+    The prompt is LEFT-padded inside the fixed [P] buffer so the cache
+    layout is contiguous for any runtime prompt_len: rotary positions are
+    slot - offset and attention masks out slots < offset (offset =
+    P - prompt_len).
+
+    Returns (gen_ids [n_new], prefill_preds [P] in left-pad layout)."""
+    P = prompt_ids.shape[0]
+    offset = P - prompt_len
+    idx = jnp.arange(P, dtype=jnp.int32) - offset
+    ids_lp = jnp.where(idx >= 0,
+                       prompt_ids[jnp.clip(idx, 0, P - 1)], 0)
+
+    k_cache, v_cache = make_kv_cache(cfg)
+    logits_all, k_cache, v_cache = forward_seq(
+        w, cfg, ids_lp, k_cache, v_cache, start_slot=0, rope_offset=offset,
+        mask_from=offset, effort=effort, impl=prefill_impl)
+    prefill_preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+    first_gen = prefill_preds[-1]
+
+    def step(carry, i):
+        tok, k_cache, v_cache, done = carry
+        slot = P + i
+        logits, k_cache, v_cache = forward_token(
+            w, cfg, tok, slot, k_cache, v_cache, effort=effort, impl=impl,
+            rope_offset=offset, mask_from=offset)
+        pred = jnp.argmax(logits).astype(jnp.int32)
+        done = done | (tok == eos_id)
+        return (pred, k_cache, v_cache, done), tok
+
+    (_, _, _, _), gen_ids = jax.lax.scan(
+        step, (first_gen, k_cache, v_cache, jnp.asarray(False)),
+        jnp.arange(n_new, dtype=jnp.int32))
+    return gen_ids, prefill_preds
+
+
+def _prompt_logits_prefill(w: ModelWeights, cfg: ModelConfig, prompt_ids,
+                           prompt_len, effort: float, impl: str):
+    """Prefill version of _prompt_logits_scan (left-pad layout preds)."""
+    P = prompt_ids.shape[0]
+    offset = P - prompt_len
+    idx = jnp.arange(P, dtype=jnp.int32) - offset
+    ids_lp = jnp.where(idx >= 0, prompt_ids[jnp.clip(idx, 0, P - 1)], 0)
+    k_cache, v_cache = make_kv_cache(cfg)
+    logits_all, _, _ = forward_seq(
+        w, cfg, ids_lp, k_cache, v_cache, start_slot=0, rope_offset=offset,
+        mask_from=offset, effort=effort, impl=impl)
+    return logits_all[-1], jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+
+
 class Engine:
     """Holds weights + compiled generation functions.
 
     One compiled executable per (prompt_pad, n_new, effort) triple; effort is
     compile-time because the gather kernel's dispatch capacity is sized from
     it. Executables are cached (JAX persistent compilation cache).
+
+    prefill=True runs the prompt through the batched forward_seq pass
+    (MXU matmuls) instead of the token-at-a-time scan.
     """
 
     def __init__(self, weights: ModelWeights, cfg: ModelConfig,
                  tokenizer=None, impl: str = "auto", eos_id: int = 2,
-                 pad_to: int = 32):
+                 pad_to: int = 32, prefill: bool = False,
+                 prefill_impl: str = "auto"):
         self.w = weights
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.impl = impl
         self.eos_id = eos_id
         self.pad_to = pad_to
+        self.prefill = prefill
+        self.prefill_impl = prefill_impl
         self._fns = {}
 
     def _fn(self, P: int, n_new: int, effort: float):
-        key = (P, n_new, effort)
+        key = (P, n_new, effort, self.prefill)
         if key not in self._fns:
-            self._fns[key] = jax.jit(partial(
-                _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                impl=self.impl, eos_id=self.eos_id))
+            if self.prefill:
+                self._fns[key] = jax.jit(partial(
+                    _prefill_decode_scan, cfg=self.cfg, n_new=n_new,
+                    effort=effort, impl=self.impl, eos_id=self.eos_id,
+                    prefill_impl=self.prefill_impl))
+            else:
+                self._fns[key] = jax.jit(partial(
+                    _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
+                    impl=self.impl, eos_id=self.eos_id))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
@@ -125,21 +192,25 @@ class Engine:
         assert P + n_new <= self.cfg.max_seq_len, "sequence too long"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._fn(P, n_new, effort)
+        args = (jnp.asarray(padded, jnp.int32),
+                jnp.asarray(len(prompt_ids), jnp.int32))
         t0 = time.perf_counter()
-        ids, preds = fn(self.w,
-                        prompt_ids=jnp.asarray(padded, jnp.int32),
-                        prompt_len=jnp.asarray(len(prompt_ids), jnp.int32))
-        ids.block_until_ready()
+        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1])
+        out[0].block_until_ready()
         t_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        ids, preds = fn(self.w,
-                        prompt_ids=jnp.asarray(padded, jnp.int32),
-                        prompt_len=jnp.asarray(len(prompt_ids), jnp.int32))
-        ids = jax.device_get(ids)
-        preds = jax.device_get(preds)
+        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1])
+        a, b = (jax.device_get(out[0]), jax.device_get(out[1]))
         dt = time.perf_counter() - t0
 
-        new_ids = list(ids[len(prompt_ids):len(prompt_ids) + n_new])
+        offset = P - len(prompt_ids)
+        if self.prefill:
+            gen_ids, prefill_preds = a, b
+            new_ids = list(gen_ids)
+            preds = list(prefill_preds[offset:]) + list(gen_ids[1:])
+        else:
+            ids, preds = a, b
+            new_ids = list(ids[len(prompt_ids):len(prompt_ids) + n_new])
         if self.eos_id in new_ids:
             new_ids = new_ids[:new_ids.index(self.eos_id) + 1]
         text = (self.tokenizer.decode(new_ids)
@@ -155,11 +226,16 @@ class Engine:
         )
 
     def _logits_fn(self, P: int, effort: float):
-        key = ("logits", P, effort)
+        key = ("logits", P, effort, self.prefill)
         if key not in self._fns:
-            self._fns[key] = jax.jit(partial(
-                _prompt_logits_scan, cfg=self.cfg, effort=effort,
-                impl=self.impl))
+            if self.prefill:
+                self._fns[key] = jax.jit(partial(
+                    _prompt_logits_prefill, cfg=self.cfg, effort=effort,
+                    impl=self.prefill_impl))
+            else:
+                self._fns[key] = jax.jit(partial(
+                    _prompt_logits_scan, cfg=self.cfg, effort=effort,
+                    impl=self.impl))
         return self._fns[key]
 
     def prompt_logits(self, prompt_ids: Sequence[int], effort: float = 1.0):
@@ -172,8 +248,12 @@ class Engine:
                            prompt_ids=jnp.asarray(padded, jnp.int32),
                            prompt_len=jnp.asarray(len(prompt_ids),
                                                   jnp.int32))
-        return (jax.device_get(logits),
-                [int(p) for p in jax.device_get(preds)[:len(prompt_ids)]])
+        preds = jax.device_get(preds)
+        if self.prefill:  # left-pad layout: real positions at the tail
+            preds = preds[P - len(prompt_ids):]
+        else:
+            preds = preds[:len(prompt_ids)]
+        return jax.device_get(logits), [int(p) for p in preds]
 
     def answer_limited(self, prompt_ids: Sequence[int],
                        allowed_ids: Sequence[int],

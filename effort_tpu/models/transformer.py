@@ -69,8 +69,9 @@ class ModelWeights:
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMS norm over the last axis (supports [dim] and batched [T, dim])."""
     x = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(jnp.mean(x * x) + eps)
+    inv = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
     return x * inv * weight
 
 
@@ -94,7 +95,7 @@ def make_kv_cache(cfg: ModelConfig, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig):
+def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig, mask_from=0):
     """q: [n_heads*head_dim]; caches: [T, n_kv, hd]. Returns [n_heads*hd]."""
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = cfg.kv_repeats
@@ -103,11 +104,36 @@ def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig):
     vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
     t_ids = jnp.arange(cfg.max_seq_len)
-    mask = t_ids[None, None, :] <= pos
+    mask = (t_ids[None, None, :] <= pos) & (t_ids[None, None, :] >= mask_from)
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("krt,tkd->krd", probs, vf)
     return out.reshape(H * D)
+
+
+def _attention_seq(Q, k_cache, v_cache, slots, mask_from, cfg: ModelConfig):
+    """Batched causal attention for prefill.
+
+    Q: [T, n_heads*head_dim] (already RoPE'd); caches: [S, n_kv, hd]
+    (already updated with this block's K/V); slots: [T] absolute cache
+    slots of the queries. Query t attends to cache slots in
+    [mask_from, slots[t]]. Returns [T, n_heads*hd]."""
+    T = Q.shape[0]
+    H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = cfg.kv_repeats
+    qh = Q.reshape(T, KV, rep, D).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("tkrd,skd->tkrs", qh, kf) / jnp.sqrt(float(D))
+    s_ids = jnp.arange(cfg.max_seq_len)
+    mask = ((s_ids[None, :] <= slots[:, None]) &
+            (s_ids[None, :] >= mask_from))[:, None, None, :]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked rows (pad queries) produce NaN probs; zero them
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    out = jnp.einsum("tkrs,skd->tkrd", probs, vf)
+    return out.reshape(T, H * D)
 
 
 def _psum(x, tp_axis):
@@ -141,7 +167,8 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
 def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
                   k_cache, v_cache, effort: float = 1.0,
                   impl: str = "auto", tp_axis: Optional[str] = None,
-                  collect_h: bool = False, ffn_fn=None):
+                  collect_h: bool = False, ffn_fn=None,
+                  rope_offset=0, mask_from=0):
     """One autoregressive step: embeds token_id at position pos, runs all
     layers, returns (logits [vocab], k_cache, v_cache).
 
@@ -155,6 +182,10 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
 
     ffn_fn: optional override (layer, l, x) -> [dim] replacing the local
     FFN — used by parallel/ep.py to run expert-sharded MoE FFNs.
+
+    rope_offset/mask_from support left-padded prompts (batched prefill):
+    pos is the absolute cache slot, pos - rope_offset the rotary position,
+    and attention ignores cache slots < mask_from (the pad region).
     """
     h = w.tok_embeddings[token_id].astype(jnp.float32)
     KV, D = cfg.n_kv_heads, cfg.head_dim
@@ -167,15 +198,16 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
         q = mv(layer.wq, h_norm, expert=l)
         k = mv(layer.wk, h_norm, expert=l)
         v = mv(layer.wv, h_norm, expert=l)
-        q = rope_rotate(q.reshape(cfg.n_heads, D), pos, D,
+        rpos = pos - rope_offset
+        q = rope_rotate(q.reshape(cfg.n_heads, D), rpos, D,
                         cfg.rope_theta).reshape(-1)
-        k = rope_rotate(k.reshape(KV, D), pos, D, cfg.rope_theta)
+        k = rope_rotate(k.reshape(KV, D), rpos, D, cfg.rope_theta)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k.astype(k_cache.dtype)[None, None], (l, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
             (l, pos, 0, 0))
-        attn = _attention(q, k_cache[l], v_cache[l], pos, cfg)
+        attn = _attention(q, k_cache[l], v_cache[l], pos, cfg, mask_from)
         h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
         if ffn_fn is not None:
@@ -192,6 +224,79 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     logits = dense_matvec(h, w.output)
     if collect_h:
         return logits, k_cache, v_cache, h_layers
+    return logits, k_cache, v_cache
+
+
+def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
+             tp_axis=None):
+    """Batched FFN for prefill. Dense models use batched matmuls; MoE
+    vmaps the per-token top-2 path (each token keeps its own routing and
+    effort selection)."""
+    from effort_tpu.ops.bucketmul import bucket_matmul
+    if cfg.n_experts == 1:
+        mm = partial(bucket_matmul, effort=effort, impl=impl)
+        x1 = mm(layer.w1, X, expert=l)
+        x3 = mm(layer.w3, X, expert=l)
+        x2 = jax.nn.silu(x1) * x3
+        return _psum(mm(layer.w2, x2, expert=l), tp_axis)
+    impl_tok = "jnp" if impl in ("auto", "pallas", "stream") else impl
+    return jax.vmap(
+        lambda x: _ffn(layer, l, x, effort, cfg, impl_tok, tp_axis))(X)
+
+
+def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
+                v_cache, start_slot=0, rope_offset=0, mask_from=0,
+                effort: float = 1.0, impl: str = "auto",
+                tp_axis: Optional[str] = None):
+    """Batched prefill: runs T tokens through all layers in one pass.
+
+    The reference has no prefill path at all — prompt tokens go through the
+    same one-token-at-a-time loop as decode (runNetwork.swift:113). On TPU
+    prefill is compute-bound, so this processes the whole prompt with MXU
+    matmuls ([T, in] @ [in, out]) and batched causal attention.
+
+    token_ids: [T] int32 occupying cache slots start_slot..start_slot+T-1.
+    rope_offset/mask_from: see forward_token (left-padded prompts).
+    Returns (logits [T, vocab], k_cache, v_cache).
+    """
+    from effort_tpu.ops.bucketmul import bucket_matmul
+    T = token_ids.shape[0]
+    KV, D = cfg.n_kv_heads, cfg.head_dim
+    X = w.tok_embeddings[token_ids].astype(jnp.float32)      # [T, dim]
+    slots = start_slot + jnp.arange(T, dtype=jnp.int32)
+    rpos = slots - rope_offset
+    mm = partial(bucket_matmul, effort=effort, impl=impl)
+    rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
+
+    def layer_step(carry, l):
+        X, k_cache, v_cache = carry
+        layer = w.layers
+        Xn = rms_norm(X, layer.attn_norm[l], cfg.norm_eps)
+        Q = mm(layer.wq, Xn, expert=l)                       # [T, H*D]
+        K = mm(layer.wk, Xn, expert=l)
+        V = mm(layer.wv, Xn, expert=l)
+        Q = rope(Q.reshape(T, cfg.n_heads, D), rpos, D,
+                 cfg.rope_theta).reshape(T, -1)
+        K = rope(K.reshape(T, KV, D), rpos, D, cfg.rope_theta)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, K.astype(k_cache.dtype)[None], (l, start_slot, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, V.reshape(T, KV, D).astype(v_cache.dtype)[None],
+            (l, start_slot, 0, 0))
+        attn = _attention_seq(Q, k_cache[l], v_cache[l], slots, mask_from,
+                              cfg)
+        X = X + _psum(mm(layer.wo, attn, expert=l), tp_axis)
+        Fn = rms_norm(X, layer.ffn_norm[l], cfg.norm_eps)
+        X = X + _ffn_seq(layer, l, Fn, effort, cfg, impl, tp_axis)
+        return (X, k_cache, v_cache), None
+
+    (X, k_cache, v_cache), _ = jax.lax.scan(
+        layer_step, (X, k_cache, v_cache),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+
+    X = rms_norm(X, w.norm, cfg.norm_eps)
+    logits = jnp.dot(X.astype(jnp.bfloat16), w.output,
+                     preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
 
 

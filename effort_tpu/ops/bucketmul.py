@@ -138,3 +138,29 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def bucket_matmul(bm: BucketedMatrix, V: jax.Array, effort,
+                  expert=0, impl: str = "auto") -> jax.Array:
+    """Batched effort-truncated matmul: V [T, in] -> [T, out] f32.
+
+    The prefill counterpart of bucket_matvec (a case the reference never
+    faced — it is strictly batch-1, SURVEY §7 "Batch > 1"). Prefill is
+    compute-bound, so "auto" resolves to the dense MXU path when a dense
+    copy exists; otherwise each token keeps its own exact bucketMul
+    selection (vmapped jnp semantics — per-token cutoffs, per-token
+    dispatch)."""
+    if impl == "auto":
+        static_full = (isinstance(effort, (int, float))
+                       and float(effort) >= 0.999)
+        impl = "dense" if (bm.dense is not None and static_full) else "jnp"
+    if impl == "dense":
+        assert bm.dense is not None, "dense path needs keep_dense weights"
+        e = jnp.asarray(expert, jnp.int32)
+        Vp = jax.vmap(lambda v: bm.permute_v(v, e))(V)
+        return jnp.dot(Vp.astype(jnp.bfloat16), bm.dense[e],
+                       preferred_element_type=jnp.float32)
+    # per-token bucketMul; pallas kernels are matvec-shaped, so batched
+    # callers get the vectorized-XLA semantics path
+    return jax.vmap(
+        lambda v: bucket_matvec_jnp(bm, v, effort, expert))(V)
