@@ -168,7 +168,8 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
                   k_cache, v_cache, effort: float = 1.0,
                   impl: str = "auto", tp_axis: Optional[str] = None,
                   collect_h: bool = False, ffn_fn=None,
-                  rope_offset=0, mask_from=0):
+                  rope_offset=0, mask_from=0,
+                  kv_update_fn=None, attn_fn=None):
     """One autoregressive step: embeds token_id at position pos, runs all
     layers, returns (logits [vocab], k_cache, v_cache).
 
@@ -186,8 +187,33 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     rope_offset/mask_from support left-padded prompts (batched prefill):
     pos is the absolute cache slot, pos - rope_offset the rotary position,
     and attention ignores cache slots < mask_from (the pad region).
+
+    kv_update_fn(k_cache, v_cache, l, pos, k [KV,D], v [KV,D]) and
+    attn_fn(q, k_cache_l, v_cache_l, pos) override the KV-cache write and
+    the attention read — used by parallel/sp.py for sequence-sharded
+    caches (each chip owns a slice of the slot axis).
     """
     h = w.tok_embeddings[token_id].astype(jnp.float32)
+    h, k_cache, v_cache, h_layers = forward_layers(
+        w, cfg, h, pos, k_cache, v_cache, effort=effort, impl=impl,
+        tp_axis=tp_axis, ffn_fn=ffn_fn, rope_offset=rope_offset,
+        mask_from=mask_from, kv_update_fn=kv_update_fn, attn_fn=attn_fn)
+    h = rms_norm(h, w.norm, cfg.norm_eps)
+    logits = dense_matvec(h, w.output)
+    if collect_h:
+        return logits, k_cache, v_cache, h_layers
+    return logits, k_cache, v_cache
+
+
+def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
+                   v_cache, effort: float = 1.0, impl: str = "auto",
+                   tp_axis: Optional[str] = None, ffn_fn=None,
+                   rope_offset=0, mask_from=0, kv_update_fn=None,
+                   attn_fn=None):
+    """The layer stack only (no embedding, no head): h [dim] through
+    cfg.n_layers transformer blocks, updating caches [n_layers, S, KV, D].
+    Factored out so pipeline parallelism (parallel/pp.py) can run a
+    STAGE's layer slice on its resident microbatch."""
     KV, D = cfg.n_kv_heads, cfg.head_dim
     mv = partial(bucket_matvec, effort=effort, impl=impl)
 
@@ -202,12 +228,21 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
         q = rope_rotate(q.reshape(cfg.n_heads, D), rpos, D,
                         cfg.rope_theta).reshape(-1)
         k = rope_rotate(k.reshape(KV, D), rpos, D, cfg.rope_theta)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype)[None, None], (l, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
-            (l, pos, 0, 0))
-        attn = _attention(q, k_cache[l], v_cache[l], pos, cfg, mask_from)
+        if kv_update_fn is not None:
+            k_cache, v_cache = kv_update_fn(k_cache, v_cache, l, pos, k,
+                                            v.reshape(KV, D))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype)[None, None],
+                (l, pos, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
+                (l, pos, 0, 0))
+        if attn_fn is not None:
+            attn = attn_fn(q, k_cache[l], v_cache[l], pos)
+        else:
+            attn = _attention(q, k_cache[l], v_cache[l], pos, cfg,
+                              mask_from)
         h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
         if ffn_fn is not None:
@@ -219,12 +254,7 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     (h, k_cache, v_cache), h_layers = jax.lax.scan(
         layer_step, (h, k_cache, v_cache),
         jnp.arange(cfg.n_layers, dtype=jnp.int32))
-
-    h = rms_norm(h, w.norm, cfg.norm_eps)
-    logits = dense_matvec(h, w.output)
-    if collect_h:
-        return logits, k_cache, v_cache, h_layers
-    return logits, k_cache, v_cache
+    return h, k_cache, v_cache, h_layers
 
 
 def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
