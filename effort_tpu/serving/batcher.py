@@ -1,0 +1,221 @@
+"""Continuous batching: slot-based batched decode with per-request effort.
+
+The reference's serving story is a parked single-flight HTTP server
+(garbage/server.swift busy-flag, SURVEY §2.2); batch size is structurally 1
+(runNetwork.swift:28-50 global activation buffers). This module is the
+green-field BatchEngine the SURVEY §7 plan calls for:
+
+  - B decode slots share one [L, B, S, KV, D] KV cache; each slot has its
+    own position, left-pad offset, effort and EOS state;
+  - a new request is admitted into a free slot between decode steps: its
+    prompt runs through the batched prefill (forward_seq) writing only its
+    slot's cache, then the slot joins the next batched decode step —
+    continuous batching, requests do not wait for each other to finish;
+  - one jitted decode step advances ALL active slots: vmap of
+    forward_token over the slot axis, with a traced per-slot effort vector
+    (the XLA bucketMul path accepts traced effort, so mixed-effort batches
+    work; pallas matvec kernels stay the single-stream fast path).
+
+ContinuousBatcher is the scheduler loop the HTTP server drives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effort_tpu.config import ModelConfig
+from effort_tpu.models.transformer import (ModelWeights, forward_seq,
+                                           forward_token)
+
+
+@dataclasses.dataclass
+class SlotState:
+    request_id: int = -1
+    prompt_len: int = 0
+    offset: int = 0          # left-pad offset inside the padded prompt
+    generated: List[int] = dataclasses.field(default_factory=list)
+    n_new: int = 0
+    done: bool = True
+
+
+class BatchEngine:
+    """Batched decode over B slots of one shared KV cache."""
+
+    def __init__(self, weights: ModelWeights, cfg: ModelConfig,
+                 batch_size: int = 4, pad_to: int = 32, eos_id: int = 2,
+                 impl: str = "jnp", prefill_impl: str = "auto"):
+        self.w = weights
+        self.cfg = cfg
+        self.B = batch_size
+        self.pad_to = pad_to
+        self.eos_id = eos_id
+        self.impl = impl
+        self.prefill_impl = prefill_impl
+        L, S = cfg.n_layers, cfg.max_seq_len
+        KV, D = cfg.n_kv_heads, cfg.head_dim
+        self.k_cache = jnp.zeros((L, batch_size, S, KV, D), jnp.bfloat16)
+        self.v_cache = jnp.zeros((L, batch_size, S, KV, D), jnp.bfloat16)
+        # device-side per-slot state
+        self.tokens = jnp.zeros((batch_size,), jnp.int32)
+        self.pos = jnp.zeros((batch_size,), jnp.int32)
+        self.offs = jnp.zeros((batch_size,), jnp.int32)
+        self.efforts = jnp.ones((batch_size,), jnp.float32)
+        self.slots = [SlotState() for _ in range(batch_size)]
+        self._fns: Dict = {}
+
+    # ---------------- jitted kernels ----------------
+
+    def _prefill_fn(self, P: int):
+        key = ("prefill", P)
+        if key not in self._fns:
+            def f(w, ids_lp, b, offset, effort, k_cache, v_cache):
+                kc_b, vc_b = k_cache[:, b], v_cache[:, b]
+                logits, kc_b, vc_b = forward_seq(
+                    w, self.cfg, ids_lp, kc_b, vc_b, start_slot=0,
+                    rope_offset=offset, mask_from=offset, effort=effort,
+                    impl=self.prefill_impl)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, kc_b[:, None], (0, b, 0, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, vc_b[:, None], (0, b, 0, 0, 0))
+                return jnp.argmax(logits[-1]).astype(jnp.int32), \
+                    k_cache, v_cache
+            self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def _step_fn(self):
+        key = "step"
+        if key not in self._fns:
+            def one(w, tok, pos, off, effort, kc_b, vc_b):
+                logits, kc_b, vc_b = forward_token(
+                    w, self.cfg, tok, pos, kc_b, vc_b, effort=effort,
+                    impl=self.impl, rope_offset=off, mask_from=off)
+                return jnp.argmax(logits).astype(jnp.int32), kc_b, vc_b
+
+            def step(w, toks, pos, offs, efforts, k_cache, v_cache):
+                kc = jnp.moveaxis(k_cache, 1, 0)   # [B, L, S, KV, D]
+                vc = jnp.moveaxis(v_cache, 1, 0)
+                preds, kc, vc = jax.vmap(
+                    one, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                        w, toks, pos, offs, efforts, kc, vc)
+                return preds, jnp.moveaxis(kc, 0, 1), \
+                    jnp.moveaxis(vc, 0, 1)
+            self._fns[key] = jax.jit(step)
+        return self._fns[key]
+
+    # ---------------- slot management ----------------
+
+    def free_slots(self) -> List[int]:
+        return [b for b, s in enumerate(self.slots) if s.done]
+
+    def active(self) -> List[int]:
+        return [b for b, s in enumerate(self.slots) if not s.done]
+
+    def admit(self, b: int, request_id: int, prompt_ids: Sequence[int],
+              n_new: int, effort: float = 1.0) -> None:
+        """Prefill prompt into slot b; slot joins the next decode step."""
+        P = max(self.pad_to,
+                -(-len(prompt_ids) // self.pad_to) * self.pad_to)
+        assert P + n_new <= self.cfg.max_seq_len, "sequence too long"
+        offset = P - len(prompt_ids)
+        ids_lp = [0] * offset + list(prompt_ids)
+        first, self.k_cache, self.v_cache = self._prefill_fn(P)(
+            self.w, jnp.asarray(ids_lp, jnp.int32),
+            jnp.asarray(b, jnp.int32), jnp.asarray(offset, jnp.int32),
+            jnp.asarray(effort, jnp.float32), self.k_cache, self.v_cache)
+        first = int(first)
+        st = self.slots[b]
+        st.request_id = request_id
+        st.prompt_len = len(prompt_ids)
+        st.offset = offset
+        st.n_new = n_new
+        st.generated = [first]
+        st.done = (n_new <= 1) or (first == self.eos_id)
+        self.tokens = self.tokens.at[b].set(first)
+        self.pos = self.pos.at[b].set(P)
+        self.offs = self.offs.at[b].set(offset)
+        self.efforts = self.efforts.at[b].set(effort)
+
+    def step(self) -> List[int]:
+        """One batched decode step; returns slots that finished."""
+        act = self.active()
+        if not act:
+            return []
+        preds, self.k_cache, self.v_cache = self._step_fn()(
+            self.w, self.tokens, self.pos, self.offs, self.efforts,
+            self.k_cache, self.v_cache)
+        preds_host = np.asarray(jax.device_get(preds))
+        finished = []
+        new_tokens = self.tokens
+        for b in act:
+            st = self.slots[b]
+            tok = int(preds_host[b])
+            st.generated.append(tok)
+            new_tokens = new_tokens.at[b].set(tok)
+            if (tok == self.eos_id or len(st.generated) >= st.n_new or
+                    int(self.pos[b]) + 1 >= self.cfg.max_seq_len - 1):
+                st.done = True
+                finished.append(b)
+        self.tokens = new_tokens
+        self.pos = self.pos + 1  # inactive slots advance harmlessly (their
+        # stale writes land in cells any future occupant re-writes)
+        self.pos = jnp.minimum(self.pos, self.cfg.max_seq_len - 1)
+        return finished
+
+    def result(self, b: int) -> List[int]:
+        gen = self.slots[b].generated
+        if self.eos_id in gen:
+            gen = gen[:gen.index(self.eos_id) + 1]
+        return gen
+
+
+class ContinuousBatcher:
+    """Synchronous scheduler over a BatchEngine: admit-when-free,
+    step-while-active. The HTTP server drives it from a worker thread."""
+
+    def __init__(self, engine: BatchEngine):
+        self.eng = engine
+        self.pending: List[tuple] = []      # (request_id, ids, n_new,
+                                            #  effort, callback)
+        self._next_id = 0
+        self._callbacks: Dict[int, object] = {}
+
+    def submit(self, prompt_ids: Sequence[int], n_new: int,
+               effort: float, callback) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.pending.append((rid, list(prompt_ids), n_new, effort,
+                             callback))
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.pending) or bool(self.eng.active())
+
+    def tick(self) -> None:
+        """Admit pending requests into free slots, then one decode step."""
+        free = self.eng.free_slots()
+        while self.pending and free:
+            rid, ids, n_new, effort, cb = self.pending.pop(0)
+            b = free.pop(0)
+            self._callbacks[rid] = cb
+            self.eng.admit(b, rid, ids, n_new, effort)
+            if self.eng.slots[b].done:     # finished at prefill (n_new<=1)
+                self._finish(b)
+        for b in self.eng.step():
+            self._finish(b)
+
+    def _finish(self, b: int) -> None:
+        st = self.eng.slots[b]
+        cb = self._callbacks.pop(st.request_id, None)
+        if cb is not None:
+            cb(self.eng.result(b))
+
+    def run_until_drained(self) -> None:
+        while self.has_work():
+            self.tick()

@@ -12,8 +12,9 @@ as a working asyncio service:
 
 Requests are serialized through a single worker task (the reference used a
 busy-flag single-flight; here a queue so requests wait instead of being
-rejected). A batching scheduler slot-in point is marked for the continuous
-batching engine.
+rejected) — or, when constructed with a ContinuousBatcher, admitted into
+batched decode slots so concurrent requests share each decode step
+(serving/batcher.py).
 """
 
 from __future__ import annotations
@@ -27,9 +28,10 @@ from typing import Optional
 
 class EffortServer:
     def __init__(self, engine, tokenizer=None, host="127.0.0.1", port=8089,
-                 max_queue: int = 32):
+                 max_queue: int = 32, batcher=None):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.batcher = batcher          # ContinuousBatcher or None
         self.host, self.port = host, port
         self.queue: asyncio.Queue = asyncio.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "tokens": 0, "busy_rejects": 0}
@@ -38,6 +40,9 @@ class EffortServer:
     # ---------------- request handling ----------------
 
     async def _worker(self):
+        if self.batcher is not None:
+            await self._batch_worker()
+            return
         while True:
             fut, fn = await self.queue.get()
             try:
@@ -46,6 +51,44 @@ class EffortServer:
                 fut.set_result(result)
             except Exception as e:  # surface errors as 500s
                 fut.set_exception(e)
+
+    async def _batch_worker(self):
+        """Continuous batching loop: admit whatever is queued, then run one
+        batched decode step; repeat while any slot is active."""
+        loop = asyncio.get_event_loop()
+
+        def submit(item):
+            if len(item) == 2:           # eval-path request (tokids): run
+                fut, fn = item           # directly, not via decode slots
+                try:
+                    fut.set_result(fn())
+                except Exception as e:
+                    fut.set_exception(e)
+                return
+            fut, ids, n_new, effort = item
+            self.batcher.submit(
+                ids, n_new, effort,
+                lambda out: loop.call_soon_threadsafe(fut.set_result, out))
+
+        while True:
+            if not self.batcher.has_work():
+                submit(await self.queue.get())
+            while not self.queue.empty():
+                submit(self.queue.get_nowait())
+            try:
+                await loop.run_in_executor(None, self.batcher.tick)
+            except Exception:
+                # a failed tick must not kill the serving loop
+                import traceback
+                traceback.print_exc()
+
+    def _encode_query(self, query: str):
+        if self.tokenizer is not None:
+            from effort_tpu.runtime.tokenizer import mistral_instruct_prompt
+            return self.tokenizer.encode(mistral_instruct_prompt(query))
+        vocab = (self.batcher.eng.cfg.vocab_size if self.batcher is not None
+                 else self.engine.cfg.vocab_size)
+        return [1] + [ord(c) % vocab for c in query]
 
     def _handle_q(self, params) -> dict:
         effort = float(params.get("effort", ["100"])[0]) / 100.0
@@ -58,11 +101,7 @@ class EffortServer:
             return {"predictions": preds}
 
         query = params.get("query", [""])[0]
-        if self.tokenizer is not None:
-            from effort_tpu.runtime.tokenizer import mistral_instruct_prompt
-            ids = self.tokenizer.encode(mistral_instruct_prompt(query))
-        else:
-            ids = [1] + [ord(c) % self.engine.cfg.vocab_size for c in query]
+        ids = self._encode_query(query)
         reply = self.engine.generate(ids, n_new=n_tokens, effort=effort)
         self.stats["tokens"] += len(reply.token_ids)
         return {"reply": reply.text or str(reply.token_ids),
@@ -94,15 +133,29 @@ class EffortServer:
                 await self._respond(writer, 200, self.stats)
             elif path.path == "/q":
                 fut = asyncio.get_event_loop().create_future()
+                if self.batcher is not None and "tokids" not in params:
+                    effort = float(params.get("effort", ["100"])[0]) / 100.0
+                    effort = min(max(effort, 0.01), 1.0)
+                    n_new = int(params.get("numtokens", ["50"])[0])
+                    ids = self._encode_query(params.get("query", [""])[0])
+                    item = (fut, ids, n_new, effort)
+                else:
+                    item = (fut, lambda: self._handle_q(params))
                 try:
-                    self.queue.put_nowait((fut,
-                                           lambda: self._handle_q(params)))
+                    self.queue.put_nowait(item)
                 except asyncio.QueueFull:
                     self.stats["busy_rejects"] += 1
                     await self._respond(writer, 503, {"error": "busy"})
                     return
                 try:
                     result = await fut
+                    if self.batcher is not None and "tokids" not in params:
+                        tokens = result
+                        self.stats["tokens"] += len(tokens)
+                        text = (self.tokenizer.decode(tokens)
+                                if self.tokenizer is not None else "")
+                        result = {"reply": text or str(tokens),
+                                  "token_ids": tokens}
                     await self._respond(writer, 200, result)
                 except Exception as e:
                     await self._respond(writer, 500, {"error": str(e)})
@@ -148,6 +201,21 @@ def make_server(engine, tokenizer=None, **kw) -> EffortServer:
     return EffortServer(engine, tokenizer=tokenizer, **kw)
 
 
+def make_batch_server(weights, cfg, tokenizer=None, batch_size: int = 4,
+                      pad_to: int = 32, impl: str = "jnp",
+                      **kw) -> EffortServer:
+    """Server in continuous-batching mode: concurrent /q requests share
+    batched decode steps."""
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.serving.batcher import BatchEngine, ContinuousBatcher
+    be = BatchEngine(weights, cfg, batch_size=batch_size, pad_to=pad_to,
+                     impl=impl)
+    eng = Engine(weights, cfg, tokenizer=tokenizer, impl=impl,
+                 pad_to=pad_to)  # eval (tokids) path
+    return EffortServer(eng, tokenizer=tokenizer,
+                        batcher=ContinuousBatcher(be), **kw)
+
+
 def main():
     import argparse
     p = argparse.ArgumentParser()
@@ -155,6 +223,8 @@ def main():
     p.add_argument("--ckpt")
     p.add_argument("--tokenizer")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batch", type=int, default=0,
+                   help="continuous-batching slots (0 = single-flight)")
     args = p.parse_args()
 
     from effort_tpu.models.generate import Engine
@@ -171,9 +241,14 @@ def main():
         cfg = tiny_test_model()
         w = init_random_weights(cfg, BucketConfig(bucket_size=4,
                                                   chunk_rows=8))
-    eng = Engine(w, cfg, tokenizer=tok)
-    srv = EffortServer(eng, tokenizer=tok, port=args.port)
-    print(f"effort-tpu server on :{args.port}")
+    if args.batch > 0:
+        srv = make_batch_server(w, cfg, tokenizer=tok,
+                                batch_size=args.batch, port=args.port)
+    else:
+        eng = Engine(w, cfg, tokenizer=tok)
+        srv = EffortServer(eng, tokenizer=tok, port=args.port)
+    print(f"effort-tpu server on :{args.port}"
+          + (f" (continuous batching x{args.batch})" if args.batch else ""))
     asyncio.run(srv.serve_forever())
 
 

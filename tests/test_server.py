@@ -50,3 +50,35 @@ def test_server_endpoints(engine):
         finally:
             await srv.stop()
     asyncio.run(run())
+
+
+def test_batch_server_concurrent_requests():
+    from effort_tpu.serving.server import make_batch_server
+    cfg = tiny_test_model(max_seq_len=64)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+
+    async def run():
+        srv = make_batch_server(w, cfg, batch_size=2, pad_to=8,
+                                port=18090)
+        await srv.start()
+        loop = asyncio.get_event_loop()
+        try:
+            # three concurrent generations through 2 slots
+            tasks = [
+                loop.run_in_executor(
+                    None, _get, 18090,
+                    f"/q?query=h{i}&effort=100&numtokens=4")
+                for i in range(3)
+            ]
+            results = await asyncio.gather(*tasks)
+            for st, body in results:
+                assert st == 200
+                assert len(body["token_ids"]) >= 1
+
+            # eval path still works in batch mode
+            st, body = await loop.run_in_executor(
+                None, _get, 18090, "/q?tokids=1,5,9&effort=100")
+            assert st == 200 and len(body["predictions"]) == 3
+        finally:
+            await srv.stop()
+    asyncio.run(run())
