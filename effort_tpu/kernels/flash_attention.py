@@ -1,0 +1,162 @@
+"""Blockwise (flash) causal attention for prefill — Pallas TPU kernel.
+
+The reference's attention is untiled O(T) Metal kernels it names as its
+long-context bottleneck (dotSetScore2/sumScores32, aux.metal:379-447;
+runNetwork.swift:166-168; docs/pesky.html "Attention and longer
+contexts"). This kernel is the TPU fix: online-softmax over KV blocks so
+the [T, S] score matrix never materializes; QK^T and P@V ride the MXU.
+
+TPU-shaped design decisions:
+  - GQA rep-folding: the grid iterates KV heads, and each step processes
+    ALL rep = H/KV query heads that share the KV head as extra score rows
+    ([rep*BQ, BK]) — K/V stream from HBM once per kv head instead of once
+    per q head (4x fewer KV bytes for Mistral);
+  - causal block skip: KV blocks entirely in the future of a query block
+    skip their compute (pl.when on the block's slot range);
+  - large blocks (BQ=256 q rows x BK=512 kv rows by default) keep the MXU
+    on >=512-wide matmuls and the grid small.
+
+Layout: Q [KV, rep, T, D], K/V [KV, S, D]. Causal masking is slot-based
+so left-padded prompts work: query row i has absolute slot start_slot+i
+and attends to kv slots in [mask_from, slot].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(scale, rep, BQ, BK, scal_ref, q_ref, k_ref, v_ref, o_ref,
+            m_scr, l_scr, acc_scr):
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    start_slot = scal_ref[0]
+    mask_from = scal_ref[1]
+    R = rep * BQ
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    qi = pl.program_id(1)
+    # skip KV blocks entirely in the future of this query block
+    q_max_slot = start_slot + qi * BQ + BQ - 1
+    live = (ki * BK) <= q_max_slot
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0].reshape(R, q_ref.shape[-1])       # [rep*BQ, D] bf16
+        k = k_ref[0]                                   # [BK, D]
+        v = v_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        # row r of s is q head r // BQ, query index r % BQ
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (R, BK), 0) % BQ
+        q_slots = start_slot + qi * BQ + t_idx
+        k_slots = (ki * BK +
+                   jax.lax.broadcasted_iota(jnp.int32, (R, BK), 1))
+        mask = (k_slots <= q_slots) & (k_slots >= mask_from)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[...]                            # [R, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        m_scr[...] = m_new
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        # fully-masked rows (pad queries) have l == 0
+        l = jnp.maximum(l_scr[...], 1e-30)
+        D = o_ref.shape[-1]
+        o_ref[0] = (acc_scr[...] / l).reshape(rep, BQ, D).astype(
+            o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _mk(scale, rep, BQ, BK):
+    return functools.partial(_kernel, scale, rep, BQ, BK)
+
+
+def flash_attention(Q: jax.Array, K: jax.Array, V: jax.Array,
+                    start_slot, mask_from=0, block_q: int = 256,
+                    block_k: int = 512, interpret: bool = False
+                    ) -> jax.Array:
+    """Q [KV, rep, T, D] (bf16 recommended); K, V [KV, S, D].
+    Returns [KV, rep, T, D] f32. T % block_q == 0 and S % block_k == 0
+    required (clamped to T/S when smaller)."""
+    KV, rep, T, D = Q.shape
+    S = K.shape[1]
+    BQ = min(block_q, T)
+    BK = min(block_k, S)
+    assert T % BQ == 0 and S % BK == 0, (T, BQ, S, BK)
+    scale = float(D) ** -0.5
+
+    scal = jnp.asarray([start_slot, mask_from], jnp.int32).reshape(2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(KV, T // BQ, S // BK),
+        in_specs=[
+            # index maps get the scalar-prefetch ref as an extra last arg
+            pl.BlockSpec((1, rep, BQ, D), lambda h, qi, ki, s: (h, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda h, qi, ki, s: (h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda h, qi, ki, s: (h, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rep, BQ, D),
+                               lambda h, qi, ki, s: (h, 0, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rep * BQ, 1), jnp.float32),
+            pltpu.VMEM((rep * BQ, 1), jnp.float32),
+            pltpu.VMEM((rep * BQ, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _mk(scale, rep, BQ, BK),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((KV, rep, T, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(scal, Q, K, V)
+
+
+def flash_attention_seq(Q2: jax.Array, k_cache: jax.Array,
+                        v_cache: jax.Array, start_slot, mask_from,
+                        n_heads: int, head_dim: int,
+                        block_q: int = 256, block_k: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """Adapter matching models.transformer._attention_seq's interface:
+    Q2 [T, H*D] (RoPE'd, q head h uses kv head h // rep), caches
+    [S, KV, D] -> [T, H*D] f32."""
+    T = Q2.shape[0]
+    KV = k_cache.shape[1]
+    rep = n_heads // KV
+    # [T, H, D] -> [KV, rep, T, D]; H = KV*rep with kv-major head order
+    Q = Q2.reshape(T, KV, rep, head_dim).transpose(1, 2, 0, 3)
+    K = k_cache.transpose(1, 0, 2)                  # [KV, S, D]
+    V = v_cache.transpose(1, 0, 2)
+    out = flash_attention(Q.astype(jnp.bfloat16), K, V, start_slot,
+                          mask_from, block_q=block_q, block_k=block_k,
+                          interpret=interpret)
+    return out.transpose(2, 0, 1, 3).reshape(T, n_heads * head_dim)

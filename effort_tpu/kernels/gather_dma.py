@@ -97,6 +97,8 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
     """vals/pos gathered via the DMA ring; returns y [out_dim] f32.
 
     bm.pos is stored packed (layouts.pack_positions strided layout)."""
+    assert not bm.vals_packed, \
+        "int4-packed values: use the prefix-stream kernel"
     B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
     bits = {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B]
     max_blocks = sel.block_ids.shape[0]

@@ -74,13 +74,13 @@ def select_stream(bm: BucketedMatrix, v: jax.Array, effort, expert,
                            u_scaled=u_scaled)
 
 
-def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles,
+def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked,
             cum_ref, base_ref, u_ref, vals_hbm, pos_hbm, out_ref,
             vscr, pscr, vsem, psem):
     G = vscr.shape[2]
-    OB = vscr.shape[3]
     per_byte = 8 // pos_bits
-    OBp = OB // per_byte
+    OBp = pscr.shape[3]
+    OB = OBp * per_byte
     total = cum_ref[K]
 
     def tile_rank(t):
@@ -114,6 +114,7 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles,
     lane = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OB), 2)
     shift = (lane // OBp) * pos_bits
     mask_val = (1 << pos_bits) - 1
+    shift4 = (lane // (OB // 2)) * 4                    # int4 nibble lanes
 
     def body(t, _):
         slot = jax.lax.rem(t, S)
@@ -123,7 +124,13 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles,
         k = tile_rank(t)
         toff = (t - cum_ref[k]) * TGB
         u = u_ref[k, pl.ds(toff, TGB), :]               # [TGB, G]
-        c = vscr[slot].astype(jnp.float32) * u[:, :, None]
+        if vpacked:
+            # int4 two-per-byte (split-halves layout, see pack_positions)
+            pv = pltpu.repeat(vscr[slot].astype(jnp.int32), 2, axis=2)
+            q4 = ((pv >> shift4) & 15) - 8
+            c = q4.astype(jnp.float32) * u[:, :, None]
+        else:
+            c = vscr[slot].astype(jnp.float32) * u[:, :, None]
         packed = pscr[slot].astype(jnp.int32)           # [TGB, G, OBp]
         p = (pltpu.repeat(packed, per_byte, axis=2) >> shift) & mask_val
         for pp in range(B):
@@ -141,10 +148,11 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_kernel(S, B, K, TGB, nc, bits, max_tiles):
+def _make_kernel(S, B, K, TGB, nc, bits, max_tiles, vpacked):
     # cached: a fresh partial per call would defeat jax's trace cache and
     # recompile the kernel on every eager invocation
-    return functools.partial(_kernel, S, B, K, TGB, nc, bits, max_tiles)
+    return functools.partial(_kernel, S, B, K, TGB, nc, bits, max_tiles,
+                             vpacked)
 
 
 def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
@@ -154,7 +162,9 @@ def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
     nc = bm.n_chunks
     assert nc % tile_blocks == 0, (nc, tile_blocks)
     max_tiles = K * (nc // tile_blocks)
-    kernel = _make_kernel(slots, B, K, tile_blocks, nc, bits, max_tiles)
+    vpacked = bm.vals_packed
+    kernel = _make_kernel(slots, B, K, tile_blocks, nc, bits, max_tiles,
+                          vpacked)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -165,7 +175,8 @@ def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((slots, tile_blocks, G, OB), bm.vals.dtype),
+            pltpu.VMEM((slots, tile_blocks, G,
+                        OB // 2 if vpacked else OB), bm.vals.dtype),
             pltpu.VMEM((slots, tile_blocks, G, OB * bits // 8), jnp.uint8),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),

@@ -277,7 +277,7 @@ def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
 def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
                 v_cache, start_slot=0, rope_offset=0, mask_from=0,
                 effort: float = 1.0, impl: str = "auto",
-                tp_axis: Optional[str] = None):
+                tp_axis: Optional[str] = None, attn_impl: str = "auto"):
     """Batched prefill: runs T tokens through all layers in one pass.
 
     The reference has no prefill path at all — prompt tokens go through the
@@ -287,10 +287,17 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
 
     token_ids: [T] int32 occupying cache slots start_slot..start_slot+T-1.
     rope_offset/mask_from: see forward_token (left-padded prompts).
-    Returns (logits [T, vocab], k_cache, v_cache).
+    attn_impl: "flash" = Pallas blockwise kernel (kernels/flash_attention),
+    "xla" = materialized-scores einsum, "auto" = flash on TPU when shapes
+    tile. Returns (logits [T, vocab], k_cache, v_cache).
     """
     from effort_tpu.ops.bucketmul import bucket_matmul
     T = token_ids.shape[0]
+    if attn_impl == "auto":
+        tiles = (cfg.head_dim % 128 == 0 and cfg.max_seq_len % 128 == 0
+                 and (T <= 128 or T % 128 == 0))
+        attn_impl = ("flash" if jax.default_backend() == "tpu" and tiles
+                     else "xla")
     KV, D = cfg.n_kv_heads, cfg.head_dim
     X = w.tok_embeddings[token_ids].astype(jnp.float32)      # [T, dim]
     slots = start_slot + jnp.arange(T, dtype=jnp.int32)
@@ -313,8 +320,15 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, V.reshape(T, KV, D).astype(v_cache.dtype)[None],
             (l, start_slot, 0, 0))
-        attn = _attention_seq(Q, k_cache[l], v_cache[l], slots, mask_from,
-                              cfg)
+        if attn_impl == "flash":
+            from effort_tpu.kernels.flash_attention import \
+                flash_attention_seq
+            attn = flash_attention_seq(Q, k_cache[l], v_cache[l],
+                                       start_slot, mask_from,
+                                       cfg.n_heads, D)
+        else:
+            attn = _attention_seq(Q, k_cache[l], v_cache[l], slots,
+                                  mask_from, cfg)
         X = X + _psum(mm(layer.wo, attn, expert=l), tp_axis)
         Fn = rms_norm(X, layer.ffn_norm[l], cfg.norm_eps)
         X = X + _ffn_seq(layer, l, Fn, effort, cfg, impl, tp_axis)

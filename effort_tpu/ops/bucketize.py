@@ -116,9 +116,10 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         qvals = jnp.clip(jnp.round(vals / scales[..., None]), -127, 127
                          ).astype(jnp.int8)
     elif cfg.dtype == "int4":
-        # Outliers already removed above; per-bucket-row symmetric 4-bit.
-        # NOTE: stored as int8 holding [-7,7]; 2-per-byte packing is a
-        # kernel-side optimization (tracked for the Q4 phase).
+        # Outliers already removed above; per-bucket-row symmetric 4-bit,
+        # packed two-per-byte below (nibble = q + 8, same split-halves
+        # byte layout as the position packing so kernels share the
+        # unpack pattern).
         scales = jnp.maximum(jnp.max(jnp.abs(vals), axis=3), 1e-30) / 7.0
         qvals = jnp.clip(jnp.round(vals / scales[..., None]), -7, 7
                          ).astype(jnp.int8)
@@ -126,6 +127,8 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         raise ValueError(cfg.dtype)
 
     vblocks = _to_blocks(qvals, n_chunks, G, K)
+    if cfg.dtype == "int4":
+        vblocks = pack_positions(vblocks + jnp.int8(8), 16)
     pblocks = pack_positions(_to_blocks(pos, n_chunks, G, K), B)
     # Append one all-zero block: the DMA target for padding slots in the
     # compacted dispatch list (replaces the reference's zeroRange32 padding

@@ -55,7 +55,8 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     u = _dequant_u(bm, u, expert)
 
     # blocks [E*NB+1, G, nb] -> per-rank views [K][in, nb] (rank-major)
-    vals = bm.vals[:-1].reshape(bm.n_experts, K, bm.n_chunks, G, nb)
+    vals = bm.vals_unpacked()[:-1].reshape(bm.n_experts, K, bm.n_chunks,
+                                           G, nb)
     pos = bm.pos_unpacked()[:-1].reshape(bm.n_experts, K, bm.n_chunks, G,
                                          nb)
     vals = vals[expert]

@@ -131,6 +131,18 @@ class BucketedMatrix:
         """Unpack self.pos to int8 [E*NB+1, G, OB]."""
         return unpack_positions(self.pos, self.bucket_size)
 
+    @property
+    def vals_packed(self) -> bool:
+        """int4 values stored two-per-byte (uint8 nibbles of q+8)."""
+        return self.vals.dtype == jnp.uint8
+
+    def vals_unpacked(self) -> jax.Array:
+        """Bucket values with int4 nibble-packing undone (int8 [-7, 7]);
+        identity for bf16/int8 storage."""
+        if not self.vals_packed:
+            return self.vals
+        return unpack_positions(self.vals, 16) - jnp.int8(8)
+
     def reconstruct_dense(self, expert: int = 0) -> jax.Array:
         """Scatter vals back to a dense [in_dim, out_dim] f32 matrix.
 
@@ -139,7 +151,8 @@ class BucketedMatrix:
         """
         E, K, G, B = self.n_experts, self.n_ranks, self.chunk_rows, self.bucket_size
         nb = self.n_buckets
-        vals = self.vals[:-1].reshape(E, K, self.n_chunks, G, nb)[expert]
+        vals = self.vals_unpacked()[:-1].reshape(
+            E, K, self.n_chunks, G, nb)[expert]
         pos_all = self.pos_unpacked()
         pos = pos_all[:-1].reshape(E, K, self.n_chunks, G, nb)[expert]
         vals = jnp.transpose(vals, (1, 2, 0, 3)).reshape(self.in_dim, K, nb)
