@@ -53,8 +53,10 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
         pos_dma(s, s).start()
 
     # lane -> shift pattern for strided packing + tile-copy unpacking
-    OBp = OB // per_byte
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G, OB), 1)
+    # (pos is padded to 128-byte lanes at pack time; slice back to OB)
+    OBp = pscr.shape[2]
+    OB_pad = OBp * per_byte
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, OB_pad), 1)
     shift = (lane // OBp) * pos_bits
     mask_val = (1 << pos_bits) - 1
 
@@ -67,8 +69,9 @@ def _kernel(S, B, K, n_chunks, max_blocks, pos_bits,
         g = jax.lax.rem(bid, n_chunks)
         u = u_ref[k, g, :]                        # [G]
         c = vscr[slot].astype(jnp.float32) * u[:, None]
-        packed = pscr[slot].astype(jnp.int32)     # [G, OB//per_byte]
-        p = (pltpu.repeat(packed, per_byte, axis=1) >> shift) & mask_val
+        packed = pscr[slot].astype(jnp.int32)     # [G, OBp]
+        p = ((pltpu.repeat(packed, per_byte, axis=1) >> shift)
+             & mask_val)[:, :OB]
 
         if B == 1:
             out_ref[0, :] += jnp.sum(c, axis=0)
@@ -115,7 +118,7 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((slots, G, OB), bm.vals.dtype),
-            pltpu.VMEM((slots, G, OB * bits // 8), jnp.uint8),
+            pltpu.VMEM((slots, G, bm.pos.shape[-1]), jnp.uint8),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
         ],

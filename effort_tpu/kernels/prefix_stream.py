@@ -74,13 +74,14 @@ def select_stream(bm: BucketedMatrix, v: jax.Array, effort, expert,
                            u_scaled=u_scaled)
 
 
-def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked,
+def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked, OB,
             cum_ref, base_ref, u_ref, vals_hbm, pos_hbm, out_ref,
             vscr, pscr, vsem, psem):
     G = vscr.shape[2]
     per_byte = 8 // pos_bits
     OBp = pscr.shape[3]
-    OB = OBp * per_byte
+    OB_pad = OBp * per_byte          # pos padded to 128-byte lanes
+    OBv = vscr.shape[3] * (2 if vpacked else 1)
     total = cum_ref[K]
 
     def tile_rank(t):
@@ -111,10 +112,11 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked,
             a.start()
             b.start()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OB), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OB_pad), 2)
     shift = (lane // OBp) * pos_bits
     mask_val = (1 << pos_bits) - 1
-    shift4 = (lane // (OB // 2)) * 4                    # int4 nibble lanes
+    lane_v = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OBv), 2)
+    shift4 = (lane_v // (OBv // 2)) * 4                 # int4 nibble lanes
 
     def body(t, _):
         slot = jax.lax.rem(t, S)
@@ -128,11 +130,13 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked,
             # int4 two-per-byte (split-halves layout, see pack_positions)
             pv = pltpu.repeat(vscr[slot].astype(jnp.int32), 2, axis=2)
             q4 = ((pv >> shift4) & 15) - 8
-            c = q4.astype(jnp.float32) * u[:, :, None]
+            c = q4[:, :, :OB].astype(jnp.float32) * u[:, :, None]
         else:
             c = vscr[slot].astype(jnp.float32) * u[:, :, None]
         packed = pscr[slot].astype(jnp.int32)           # [TGB, G, OBp]
-        p = (pltpu.repeat(packed, per_byte, axis=2) >> shift) & mask_val
+        p_pad = (pltpu.repeat(packed, per_byte, axis=2) >> shift) \
+            & mask_val
+        p = p_pad[:, :, :OB]
         for pp in range(B):
             m = (p == pp).astype(jnp.float32)
             out_ref[pp, :] += jnp.sum(m * c, axis=(0, 1))
@@ -148,11 +152,11 @@ def _kernel(S, B, K, TGB, nc, pos_bits, max_tiles, vpacked,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_kernel(S, B, K, TGB, nc, bits, max_tiles, vpacked):
+def _make_kernel(S, B, K, TGB, nc, bits, max_tiles, vpacked, OB):
     # cached: a fresh partial per call would defeat jax's trace cache and
     # recompile the kernel on every eager invocation
     return functools.partial(_kernel, S, B, K, TGB, nc, bits, max_tiles,
-                             vpacked)
+                             vpacked, OB)
 
 
 def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
@@ -164,7 +168,7 @@ def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
     max_tiles = K * (nc // tile_blocks)
     vpacked = bm.vals_packed
     kernel = _make_kernel(slots, B, K, tile_blocks, nc, bits, max_tiles,
-                          vpacked)
+                          vpacked, OB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -175,9 +179,10 @@ def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((slots, tile_blocks, G,
-                        OB // 2 if vpacked else OB), bm.vals.dtype),
-            pltpu.VMEM((slots, tile_blocks, G, OB * bits // 8), jnp.uint8),
+            pltpu.VMEM((slots, tile_blocks, G, bm.vals.shape[-1]),
+                       bm.vals.dtype),
+            pltpu.VMEM((slots, tile_blocks, G, bm.pos.shape[-1]),
+                       jnp.uint8),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
         ],

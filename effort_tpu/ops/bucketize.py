@@ -126,10 +126,25 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
     else:
         raise ValueError(cfg.dtype)
 
+    def _pad_for_packing(blocks, elems_per_128_bytes):
+        """Pad the OB axis so the PACKED byte width is a multiple of 128
+        (Mosaic DMA lane alignment: unaligned trailing dims cannot be
+        memref-sliced on TPU). Kernels/readers slice back to n_buckets."""
+        w = blocks.shape[-1]
+        pad = (-w) % elems_per_128_bytes
+        if pad:
+            blocks = jnp.concatenate(
+                [blocks, jnp.zeros(blocks.shape[:-1] + (pad,),
+                                   blocks.dtype)], axis=-1)
+        return blocks
+
     vblocks = _to_blocks(qvals, n_chunks, G, K)
     if cfg.dtype == "int4":
-        vblocks = pack_positions(vblocks + jnp.int8(8), 16)
-    pblocks = pack_positions(_to_blocks(pos, n_chunks, G, K), B)
+        vblocks = pack_positions(
+            _pad_for_packing(vblocks, 256) + jnp.int8(8), 16)
+    pos_per128 = 128 * (8 // {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B])
+    pblocks = pack_positions(
+        _pad_for_packing(_to_blocks(pos, n_chunks, G, K), pos_per128), B)
     # Append one all-zero block: the DMA target for padding slots in the
     # compacted dispatch list (replaces the reference's zeroRange32 padding
     # patch, bucketMul.swift:57-63).

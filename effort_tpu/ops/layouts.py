@@ -128,8 +128,10 @@ class BucketedMatrix:
         return {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[self.bucket_size]
 
     def pos_unpacked(self) -> jax.Array:
-        """Unpack self.pos to int8 [E*NB+1, G, OB]."""
-        return unpack_positions(self.pos, self.bucket_size)
+        """Unpack self.pos to int8 [E*NB+1, G, OB] (alignment padding
+        added at pack time is sliced off)."""
+        return unpack_positions(self.pos,
+                                self.bucket_size)[..., :self.n_buckets]
 
     @property
     def vals_packed(self) -> bool:
@@ -141,7 +143,8 @@ class BucketedMatrix:
         identity for bf16/int8 storage."""
         if not self.vals_packed:
             return self.vals
-        return unpack_positions(self.vals, 16) - jnp.int8(8)
+        return (unpack_positions(self.vals, 16)
+                - jnp.int8(8))[..., :self.n_buckets]
 
     def reconstruct_dense(self, expert: int = 0) -> jax.Array:
         """Scatter vals back to a dense [in_dim, out_dim] f32 matrix.
