@@ -9,6 +9,9 @@ Run modes mirror the reference binary (main.swift:26-35, 94-135):
   quiz        QA accuracy across the effort scale (goQuiz)
   agreement   token-prediction agreement sweep (goBenchmarkSimilarity)
 
+Reference-name aliases (main.swift:94-106): playground -> bucket,
+benchmark -> agreement, quickstart -> generate.
+
 Checkpoints: --ckpt DIR (bucketized) or --synthetic for random weights
 (this sandbox has no model weights; the tunnel is too slow to upload any).
 """
@@ -42,7 +45,9 @@ def _build_engine(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="effort-tpu", description=__doc__)
     p.add_argument("mode", choices=["convert", "generate", "repl", "bucket",
-                                    "quiz", "agreement"])
+                                    "quiz", "agreement",
+                                    # reference run-mode aliases
+                                    "playground", "benchmark", "quickstart"])
     p.add_argument("--ckpt", help="bucketized checkpoint dir")
     p.add_argument("--src", help="HF checkpoint dir (convert)")
     p.add_argument("--dst", help="output dir (convert)")
@@ -65,6 +70,8 @@ def main(argv=None):
     p.add_argument("--n-tokens", type=int, default=30)
     p.add_argument("--quiz-file", default=None)
     args = p.parse_args(argv)
+    args.mode = {"playground": "bucket", "benchmark": "agreement",
+                 "quickstart": "generate"}.get(args.mode, args.mode)
 
     if args.mode == "convert":
         from effort_tpu.config import (BucketConfig, mistral_7b,

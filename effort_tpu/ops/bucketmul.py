@@ -77,6 +77,17 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     return y
 
 
+def supports_pallas(bm: BucketedMatrix) -> bool:
+    """Whether the streaming kernel can run on this layout.
+
+    Mosaic requires DMA-sliced tiles to be 128-lane aligned in the minor
+    dimension; matrices too narrow for that (tiny test models) take the
+    vectorized-XLA path instead. Production shapes (Mistral wk/wv and up)
+    always pass — bucketize() pads vals/pos lanes to 128 bytes.
+    """
+    return (bm.vals.shape[-1] % 128 == 0 and bm.pos.shape[-1] % 128 == 0)
+
+
 def _tile_blocks(bm: BucketedMatrix) -> int:
     """Streaming tile size (chunks per DMA): ~64-128 rows."""
     for t in (8, 4, 2, 1):
@@ -97,7 +108,7 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         on_tpu = jax.default_backend() == "tpu"
         if effort >= 0.999 and bm.dense is not None:
             impl = "dense"
-        elif on_tpu:
+        elif on_tpu and supports_pallas(bm):
             impl = "pallas"
         else:
             impl = "jnp"

@@ -18,12 +18,12 @@ def test_pod_mesh_single_process():
 
     # a psum over the mesh actually runs
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from effort_tpu.parallel import shard_map
 
     def f(x):
         return jax.lax.psum(x, "tp")
 
     x = jnp.arange(8.0).reshape(2, 4)
     y = jax.jit(shard_map(f, mesh=mesh, in_specs=P("dp", "tp"),
-                          out_specs=P("dp", None), check_rep=False))(x)
+                          out_specs=P("dp", None)))(x)
     np.testing.assert_allclose(np.asarray(y)[:, 0], [6.0, 22.0])

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from effort_tpu.parallel import shard_map
 
 from effort_tpu.config import BucketConfig, tiny_test_model
 from effort_tpu.models.transformer import (init_random_weights,
@@ -46,8 +46,7 @@ def test_tp_matches_single_device(setup):
         in_specs=(tp_specs(w_tp), P(), P(), P(None, None, "tp", None),
                   P(None, None, "tp", None)),
         out_specs=(P(), P(None, None, "tp", None),
-                   P(None, None, "tp", None)),
-        check_rep=False)
+                   P(None, None, "tp", None)))
     logits_tp, kc2, vc2 = jax.jit(fn)(
         w_tp, jnp.asarray(3), jnp.asarray(0), kl, vl)
 
@@ -79,8 +78,7 @@ def test_tp_effort_sweep_quality(setup):
         in_specs=(tp_specs(w_tp), P(), P(), P(None, None, "tp", None),
                   P(None, None, "tp", None)),
         out_specs=(P(), P(None, None, "tp", None),
-                   P(None, None, "tp", None)),
-        check_rep=False)
+                   P(None, None, "tp", None)))
     logits_tp, _, _ = jax.jit(fn)(w_tp, jnp.asarray(3), jnp.asarray(0),
                                   kl, vl)
     a, b = np.asarray(ref), np.asarray(logits_tp)

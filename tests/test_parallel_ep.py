@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from effort_tpu.parallel import shard_map
 
 from effort_tpu.config import BucketConfig, tiny_test_model
 from effort_tpu.models.transformer import (init_random_weights,
@@ -49,8 +49,7 @@ def test_ep_decode_matches_single_device(setup):
 
     fn = shard_map(step, mesh=mesh,
                    in_specs=(ep_specs(w_ep), P(), P(), P(), P()),
-                   out_specs=(P(), P(), P()),
-                   check_rep=False)
+                   out_specs=(P(), P(), P()))
     logits, kc2, _ = jax.jit(fn)(w_ep, jnp.asarray(3), jnp.asarray(0),
                                  kl, vl)
     assert _cos(ref, logits) > 0.9999, _cos(ref, logits)
@@ -70,8 +69,7 @@ def test_ep_decode_low_effort(setup):
 
     fn = shard_map(step, mesh=mesh,
                    in_specs=(ep_specs(w_ep), P(), P(), P(), P()),
-                   out_specs=(P(), P(), P()),
-                   check_rep=False)
+                   out_specs=(P(), P(), P()))
     logits, _, _ = jax.jit(fn)(w_ep, jnp.asarray(7), jnp.asarray(0), kl, vl)
     # identical expert slices + identical per-expert bucketization =>
     # selection matches the single-device engine at the same effort
@@ -96,7 +94,7 @@ def test_ep_all_to_all_tokens(setup):
 
     fn = shard_map(ffn_tokens, mesh=mesh,
                    in_specs=(ep_specs(w_ep), P("ep")),
-                   out_specs=P("ep"), check_rep=False)
+                   out_specs=P("ep"))
     out = jax.jit(fn)(w_ep, X)
     assert out.shape == (T, cfg.dim)
     cs = _cos(ref, out)
@@ -120,7 +118,7 @@ def test_ep_all_to_all_capacity_drop(setup):
 
     fn = shard_map(ffn_tokens, mesh=mesh,
                    in_specs=(ep_specs(w_ep), P("ep")),
-                   out_specs=P("ep"), check_rep=False)
+                   out_specs=P("ep"))
     out = jax.jit(fn)(w_ep, X)
     assert bool(jnp.isfinite(out).all())
     assert _cos(ref, out) > 0.8

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from effort_tpu.parallel import shard_map
 
 from effort_tpu.config import BucketConfig, tiny_test_model
 from effort_tpu.models.transformer import (init_random_weights,
@@ -59,7 +59,7 @@ def test_pp_decode_matches_single_device(setup):
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(pp_specs(w_pp), P(), P(), kspec, vspec),
-        out_specs=(P(), kspec, vspec), check_rep=False))
+        out_specs=(P(), kspec, vspec)))
 
     kc, vc = make_pp_caches(cfg, M)
     for t in range(3):
@@ -84,7 +84,7 @@ def test_pp_low_effort_runs(setup):
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(pp_specs(w_pp), P(), P(), kspec, vspec),
-        out_specs=(P(), kspec, vspec), check_rep=False))
+        out_specs=(P(), kspec, vspec)))
     kc, vc = make_pp_caches(cfg, M)
     logits, kc, vc = fn(w_pp, jnp.asarray([1, 2, 3, 4], jnp.int32),
                         jnp.zeros((M,), jnp.int32), kc, vc)

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from effort_tpu.parallel import shard_map
 
 from effort_tpu.config import BucketConfig, tiny_test_model
 from effort_tpu.models.transformer import (init_random_weights,
@@ -54,7 +54,7 @@ def test_sp_decode_matches_single_device(setup):
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(sp_weight_specs(w), P(), P(), kspec, vspec),
-        out_specs=(P(), kspec, vspec), check_rep=False))
+        out_specs=(P(), kspec, vspec)))
 
     kc2, vc2 = make_kv_cache(cfg)
     for t, tok in enumerate(tokens):
@@ -87,7 +87,7 @@ def test_sp_low_effort(setup):
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(sp_weight_specs(w), P(), P(), kspec, vspec),
-        out_specs=(P(), kspec, vspec), check_rep=False))
+        out_specs=(P(), kspec, vspec)))
     kc2, vc2 = make_kv_cache(cfg)
     out = None
     for t, tok in enumerate([7, 3, 11]):
