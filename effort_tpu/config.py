@@ -48,7 +48,10 @@ class BucketConfig:
     outlier_frac: float = 0.02  # int4 only: top-|w| fraction kept exactly
 
     def __post_init__(self):
-        assert self.bucket_size in (2, 4, 8, 16, 32), self.bucket_size
+        # bucket_size 1 = row-prefix (MXU) layout: whole input rows are
+        # the selection unit; no within-bucket positions (see
+        # kernels/fused_stream.mxu_matvec)
+        assert self.bucket_size in (1, 2, 4, 8, 16, 32), self.bucket_size
         assert self.dtype in ("bf16", "int8", "int4"), self.dtype
         assert 0.0 < self.percent_load <= 1.0
 

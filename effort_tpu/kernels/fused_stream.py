@@ -1,0 +1,414 @@
+"""bucketMul kernel v4: FULLY FUSED selection + prefix streaming.
+
+One pallas_call = one effort-truncated matvec. The XLA-side dispatch of
+kernel v3 (prefix_stream.select_stream: cutoff quantile, rank counts,
+u-mask, prefix lengths — ~30 small XLA ops) costs ~40us/call in per-op
+launch overhead on TPU, which dwarfs the actual streaming work for every
+matrix smaller than w1 and halves the speedup even there. Here the whole
+dispatch runs INSIDE the kernel, on the same data the kernel already
+holds:
+
+  prologue (VPU + scalar core):
+    scores = |v_sample * probes|            (findCutoff32's probe dot,
+                                             bucketMul.metal:141-198)
+    cutoff  = two-level geometric/linear threshold count (the TPU
+              replacement for the reference's threadgroup binary search,
+              bucketMul.metal:199-246 — same formulas as
+              ops.effort.compute_cutoff, traced scalar arithmetic)
+    n_i     = rank counts; u_k = v * [k < n_i] (* dequant scale)
+    lens_k  = ceil(alpha * count(n_i > k) / tile_rows)  -> cum offsets
+  main loop: identical DMA-ring prefix streaming as prefix_stream._kernel.
+
+Everything after the (tiny) input transfers is a single launch;
+per-matvec overhead drops from ~45us to the pallas dispatch (~5us).
+
+Requires in_dim % 128 == 0 and probe-sample length % 128 == 0 (true for
+all production shapes); bucket_matvec falls back to the v3 path
+otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from effort_tpu.ops.layouts import BucketedMatrix, strided_sample
+
+_NL = 32          # thresholds per cutoff-search level (matches compute_cutoff)
+_RATIO = 0.62
+
+
+def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
+            effort, alpha, has_scales,
+            e_ref,
+            v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
+            vals_hbm, pos_hbm,
+            out_ref, vscr, pscr, uscr, vsem, psem):
+    per_byte = 8 // pos_bits
+    OBp = pscr.shape[3]
+    OB_pad = OBp * per_byte
+    OBv = vscr.shape[3] * (2 if vpacked else 1)
+    tile_rows = TGB * G
+
+    # ---- cutoff: two-level threshold count (ops.effort.compute_cutoff) ----
+    scores = jnp.abs(vs_ref[...] * probes_ref[...])          # [P//128, 128]
+    kq = float(min(max(round(P * effort), 1), P))
+    m = jnp.max(scores) + 1e-30
+
+    def first_hit(ts, lo0, hi0):
+        # ts: python list of traced scalar thresholds, DESCENDING.
+        # Returns (t_lo, t_hi) for the first threshold whose count >= kq,
+        # with argmax-at-0 semantics of the XLA version.
+        t_lo, t_hi = lo0, hi0
+        done = jnp.bool_(False)
+        prev = hi0
+        for t in ts:
+            cnt = jnp.sum((scores > t).astype(jnp.int32))
+            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
+            t_lo = jnp.where(hit, t, t_lo)
+            t_hi = jnp.where(hit, prev, t_hi)
+            done = jnp.logical_or(done, hit)
+            prev = t
+        return t_lo, t_hi
+
+    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
+    lo, hi = first_hit(lvl1, jnp.float32(0.0), m)
+    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
+    cutoff, _ = first_hit(lvl2, lo, hi)
+
+    # ---- rank counts + masked inputs (all in the [nc, G] layout the main
+    # loop consumes — Mosaic cannot re-tile (in//128,128)->(nc,G)) --------
+    absv = jnp.abs(v_ref[...])                               # [nc, G]
+    n = jnp.zeros_like(absv, dtype=jnp.int32)
+    for k in range(K):
+        n += (stats_ref[k] * absv > cutoff).astype(jnp.int32)
+    for k in range(K):
+        u_k = v_ref[...] * (n > k).astype(jnp.float32)
+        if has_scales:
+            u_k = u_k * scales_ref[k]
+        uscr[k] = u_k
+
+    # ---- prefix lengths (tiles) + cumulative offsets (scalar core) ------
+    e = e_ref[0]
+    cums = [jnp.int32(0)]
+    bases = []
+    for k in range(K):
+        cnt = jnp.sum((n > k).astype(jnp.int32)).astype(jnp.float32)
+        rows = jnp.minimum(jnp.ceil(cnt * alpha), float(in_dim))
+        lens = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+        cums.append(cums[-1] + lens)
+        bases.append((e * K + k) * nc)
+    total = cums[K]
+
+    # ---- DMA-ring prefix streaming (prefix_stream._kernel body) ---------
+    def tile_rank(t):
+        r = jnp.int32(0)
+        for k in range(1, K):
+            r = r + (t >= cums[k]).astype(jnp.int32)
+        return r
+
+    def start_block(t, k):
+        base = bases[0]
+        for j in range(1, K):
+            base = jnp.where(k == j, bases[j], base)
+        off = cums[0]
+        for j in range(1, K):
+            off = jnp.where(k == j, cums[j], off)
+        return base + (t - off) * TGB
+
+    def dmas(t, slot):
+        k = tile_rank(t)
+        sb = start_block(t, k)
+        return (pltpu.make_async_copy(
+                    vals_hbm.at[pl.ds(sb, TGB)], vscr.at[slot],
+                    vsem.at[slot]),
+                pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(sb, TGB)], pscr.at[slot],
+                    psem.at[slot]))
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for s in range(S):
+        @pl.when(s < total)
+        def _(s=s):
+            a, b = dmas(jnp.int32(s), s)
+            a.start()
+            b.start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OB_pad), 2)
+    shift = (lane // OBp) * pos_bits
+    mask_val = (1 << pos_bits) - 1
+    lane_v = jax.lax.broadcasted_iota(jnp.int32, (TGB, G, OBv), 2)
+    shift4 = (lane_v // (OBv // 2)) * 4
+
+    def body(t, _):
+        slot = jax.lax.rem(t, S)
+        a, bdma = dmas(t, slot)
+        a.wait()
+        bdma.wait()
+        k = tile_rank(t)
+        off = cums[0]
+        for j in range(1, K):
+            off = jnp.where(k == j, cums[j], off)
+        toff = (t - off) * TGB
+        u = uscr[k, pl.ds(toff, TGB), :]                     # [TGB, G]
+        if vpacked:
+            pv = pltpu.repeat(vscr[slot].astype(jnp.int32), 2, axis=2)
+            q4 = ((pv >> shift4) & 15) - 8
+            c = q4[:, :, :OB].astype(jnp.float32) * u[:, :, None]
+        else:
+            c = vscr[slot].astype(jnp.float32) * u[:, :, None]
+        packed = pscr[slot].astype(jnp.int32)
+        p_pad = (pltpu.repeat(packed, per_byte, axis=2) >> shift) \
+            & mask_val
+        p = p_pad[:, :, :OB]
+        for pp in range(B):
+            mk = (p == pp).astype(jnp.float32)
+            out_ref[pp, :] += jnp.sum(mk * c, axis=(0, 1))
+
+        @pl.when(t + S < total)
+        def _():
+            a2, b2 = dmas(t + S, slot)
+            a2.start()
+            b2.start()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(S, B, K, TGB, nc, G, bits, vpacked, OB, in_dim, P,
+                 effort, alpha, has_scales):
+    return functools.partial(_kernel, S, B, K, TGB, nc, G, bits, vpacked,
+                             OB, in_dim, P, effort, alpha, has_scales)
+
+
+def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
+                effort, alpha, has_scales,
+                e_ref,
+                v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
+                vals_hbm,
+                out_ref, vscr, uscr, vsem):
+    """Row-prefix variant (bucket_size=1): selected input rows contribute
+    ALL their columns, so the accumulation is a dense dot on the MXU — no
+    positions, no scatter, full matmul bandwidth. Quality-per-byte is
+    within ~0.3% cos of rank-prefix under heavy-tailed decode activations
+    (scripts/oracle_row_vs_rank.py) at ~3x the streaming rate.
+    """
+    OBv = vscr.shape[3] * (2 if vpacked else 1)
+    tile_rows = TGB * G
+
+    scores = jnp.abs(vs_ref[...] * probes_ref[...])
+    kq = float(min(max(round(P * effort), 1), P))
+    m = jnp.max(scores) + 1e-30
+
+    def first_hit(ts, lo0, hi0):
+        t_lo, t_hi = lo0, hi0
+        done = jnp.bool_(False)
+        prev = hi0
+        for t in ts:
+            cnt = jnp.sum((scores > t).astype(jnp.int32))
+            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
+            t_lo = jnp.where(hit, t, t_lo)
+            t_hi = jnp.where(hit, prev, t_hi)
+            done = jnp.logical_or(done, hit)
+            prev = t
+        return t_lo, t_hi
+
+    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
+    lo, hi = first_hit(lvl1, jnp.float32(0.0), m)
+    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
+    cutoff, _ = first_hit(lvl2, lo, hi)
+
+    sel = stats_ref[0] * jnp.abs(v_ref[...]) > cutoff      # [nc, G]
+    u = v_ref[...] * sel.astype(jnp.float32)
+    if has_scales:
+        u = u * scales_ref[0]
+    # replicated over 8 sublanes: per-tile u rows are then aligned [8, G]
+    # loads (Mosaic cannot load a single dynamic sublane row)
+    uscr[...] = jnp.broadcast_to(u.astype(jnp.bfloat16)[:, None, :],
+                                 uscr.shape)
+
+    cnt = jnp.sum(sel.astype(jnp.int32)).astype(jnp.float32)
+    rows = jnp.minimum(jnp.ceil(cnt * alpha), float(in_dim))
+    total = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+    e = e_ref[0]
+    base = e * nc
+
+    def dma(t, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(base + t * TGB, TGB)], vscr.at[slot],
+            vsem.at[slot])
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for s in range(S):
+        @pl.when(s < total)
+        def _(s=s):
+            dma(jnp.int32(s), s).start()
+
+    if vpacked:
+        lane_v = jax.lax.broadcasted_iota(jnp.int32, (G, OBv), 1)
+        shift4 = (lane_v // (OBv // 2)) * 4
+
+    def body(t, _):
+        slot = jax.lax.rem(t, S)
+        dma(t, slot).wait()
+        acc = jnp.zeros_like(out_ref[...])                  # [1, OB]
+        for j in range(TGB):
+            uj = uscr[t * TGB + j]                          # [8, G] bf16
+            if vpacked:
+                pv = pltpu.repeat(vscr[slot][j].astype(jnp.int32), 2,
+                                  axis=1)
+                wj = (((pv >> shift4) & 15) - 8)[:, :OB] \
+                    .astype(jnp.bfloat16)
+            else:
+                wj = vscr[slot][j]                          # [G, OB]
+                if wj.dtype != jnp.bfloat16:
+                    wj = wj.astype(jnp.bfloat16)
+            # 8 replicated rows through the MXU (it is idle-rich here);
+            # row 0 is the result
+            d = jax.lax.dot_general(
+                uj, wj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [8, OB]
+            acc = acc + d[0:1, :]
+        out_ref[...] += acc
+
+        @pl.when(t + S < total)
+        def _():
+            dma(t + S, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
+                     effort, alpha, has_scales):
+    return functools.partial(_kernel_mxu, S, TGB, nc, G, vpacked, OB,
+                             in_dim, P, effort, alpha, has_scales)
+
+
+def supports_fused(bm: BucketedMatrix) -> bool:
+    sample = strided_sample_len(bm.in_dim, bm.probes.shape[1])
+    return (bm.in_dim % 128 == 0 and sample % 128 == 0
+            and bm.vals.shape[-1] % 128 == 0
+            and bm.pos.shape[-1] % 128 == 0)
+
+
+def strided_sample_len(in_dim: int, n_probes: int) -> int:
+    stride = max(1, -(-in_dim // n_probes))
+    return in_dim // stride
+
+
+def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
+               expert=0, alpha: float = 1.3, tile_blocks: int = 1,
+               slots: int = 3) -> jax.Array:
+    """One-launch row-prefix effort matvec (bucket_size=1 layout)."""
+    assert bm.bucket_size == 1
+    G, OB = bm.chunk_rows, bm.n_buckets
+    nc = bm.n_chunks
+    assert nc % tile_blocks == 0, (nc, tile_blocks)
+    expert = jnp.asarray(expert, jnp.int32).reshape(1)
+    e0 = expert[0]
+    vp = bm.permute_v(v, e0).astype(jnp.float32)
+    vs = strided_sample(vp, bm.in_dim, bm.probes.shape[1])
+    P = vs.shape[0]
+    v2 = vp.reshape(nc, G)
+    vs2 = vs.reshape(P // 128, 128)
+    probes2 = bm.probes[e0].astype(jnp.float32).reshape(P // 128, 128)
+    stats_t = bm.stats[e0].T.reshape(1, nc, G)
+    has_scales = bm.scales is not None
+    scales_t = (bm.scales[e0].T.reshape(1, nc, G)
+                if has_scales else stats_t)
+
+    kernel = _make_kernel_mxu(slots, tile_blocks, nc, G, bm.vals_packed,
+                              OB, bm.in_dim, P, float(effort),
+                              float(alpha), has_scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # v2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # vs2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # probes2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # stats_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # scales_t
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vals
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, tile_blocks, G, bm.vals.shape[-1]),
+                       bm.vals.dtype),
+            pltpu.VMEM((nc, 8, G), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(expert, v2, vs2, probes2, stats_t, scales_t, bm.vals)
+    return acc.reshape(OB)
+
+
+def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
+                 expert=0, alpha: float = 1.3, tile_blocks: int = 8,
+                 slots: int = 3) -> jax.Array:
+    """One-launch effort matvec (selection + streaming fused)."""
+    if bm.bucket_size == 1:
+        return mxu_matvec(bm, v, effort, expert, alpha=alpha,
+                          tile_blocks=1, slots=slots)
+    B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
+    nc = bm.n_chunks
+    assert nc % tile_blocks == 0, (nc, tile_blocks)
+    expert = jnp.asarray(expert, jnp.int32).reshape(1)
+    e0 = expert[0]
+    vp = bm.permute_v(v, e0).astype(jnp.float32)
+    vs = strided_sample(vp, bm.in_dim, bm.probes.shape[1])
+    P = vs.shape[0]
+    v2 = vp.reshape(nc, G)
+    vs2 = vs.reshape(P // 128, 128)
+    probes2 = bm.probes[e0].astype(jnp.float32).reshape(P // 128, 128)
+    # loop-invariant under jit+scan: XLA hoists these transposes
+    stats_t = bm.stats[e0].T.reshape(K, nc, G)
+    has_scales = bm.scales is not None
+    scales_t = (bm.scales[e0].T.reshape(K, nc, G)
+                if has_scales else stats_t)
+
+    kernel = _make_kernel(slots, B, K, tile_blocks, nc, G, bm.pos_bits,
+                          bm.vals_packed, OB, bm.in_dim, P,
+                          float(effort), float(alpha), has_scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # v2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # vs2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # probes2
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # stats_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # scales_t
+            pl.BlockSpec(memory_space=pltpu.ANY),      # vals
+            pl.BlockSpec(memory_space=pltpu.ANY),      # pos
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, tile_blocks, G, bm.vals.shape[-1]),
+                       bm.vals.dtype),
+            pltpu.VMEM((slots, tile_blocks, G, bm.pos.shape[-1]),
+                       jnp.uint8),
+            pltpu.VMEM((K, nc, G), jnp.float32),
+            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, OB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(expert, v2, vs2, probes2, stats_t, scales_t, bm.vals, bm.pos)
+    return acc.T.reshape(OB * B)

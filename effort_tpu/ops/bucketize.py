@@ -142,9 +142,15 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
     if cfg.dtype == "int4":
         vblocks = pack_positions(
             _pad_for_packing(vblocks, 256) + jnp.int8(8), 16)
-    pos_per128 = 128 * (8 // {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B])
-    pblocks = pack_positions(
-        _pad_for_packing(_to_blocks(pos, n_chunks, G, K), pos_per128), B)
+    if B == 1:
+        # row-prefix (MXU) layout: positions are identically zero — store
+        # a minimal dummy (kernels never read it; pos_unpacked synthesizes)
+        pblocks = jnp.zeros((E * n_chunks * K, 1, 128), jnp.uint8)
+    else:
+        pos_per128 = 128 * (8 // {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[B])
+        pblocks = pack_positions(
+            _pad_for_packing(_to_blocks(pos, n_chunks, G, K), pos_per128),
+            B)
     # Append one all-zero block: the DMA target for padding slots in the
     # compacted dispatch list (replaces the reference's zeroRange32 padding
     # patch, bucketMul.swift:57-63).

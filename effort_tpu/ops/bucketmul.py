@@ -120,14 +120,21 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         return bucket_matvec_jnp(bm, v, effort, expert)
     if impl in ("pallas", "stream", "gather"):
         if impl in ("pallas", "stream"):
-            # production path: per-rank prefix streaming
-            from effort_tpu.kernels.prefix_stream import (select_stream,
-                                                          stream_matvec)
+            # production path: per-rank prefix streaming with fused
+            # in-kernel selection (one launch); v3 split path as fallback
+            from effort_tpu.kernels.fused_stream import (fused_matvec,
+                                                         supports_fused)
             alpha = alpha if alpha is not None else 1.4
             tgb = _tile_blocks(bm)
-            sel = select_stream(bm, v, effort, expert, alpha=alpha,
-                                tile_blocks=tgb)
-            y = stream_matvec(bm, sel, tgb)
+            if impl == "pallas" and supports_fused(bm):
+                y = fused_matvec(bm, v, float(effort), expert,
+                                 alpha=alpha, tile_blocks=tgb)
+            else:
+                from effort_tpu.kernels.prefix_stream import (
+                    select_stream, stream_matvec)
+                sel = select_stream(bm, v, effort, expert, alpha=alpha,
+                                    tile_blocks=tgb)
+                y = stream_matvec(bm, sel, tgb)
         else:
             # exact-coverage block gather (alternative path)
             from effort_tpu.kernels.gather_dma import gather_matvec_dma

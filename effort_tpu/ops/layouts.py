@@ -125,11 +125,17 @@ class BucketedMatrix:
 
     @property
     def pos_bits(self) -> int:
-        return {2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[self.bucket_size]
+        # bucket_size 1 = row-prefix (MXU) layout: buckets are single
+        # elements, positions are identically zero and never stored
+        return {1: 0, 2: 1, 4: 2, 8: 3, 16: 4, 32: 5}[self.bucket_size]
 
     def pos_unpacked(self) -> jax.Array:
         """Unpack self.pos to int8 [E*NB+1, G, OB] (alignment padding
         added at pack time is sliced off)."""
+        if self.bucket_size == 1:
+            nblk = self.n_experts * self.blocks_per_expert + 1
+            return jnp.zeros((nblk, self.chunk_rows, self.n_buckets),
+                             jnp.int8)
         return unpack_positions(self.pos,
                                 self.bucket_size)[..., :self.n_buckets]
 
