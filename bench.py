@@ -2,18 +2,29 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Benchmark: w1-shaped (4096x14336) bucketMul vs dense bf16 matvec at
-effort=25%, activation-calibrated layout, synthetic persistent-outlier
-activations (documented in effort_tpu/utils/timing.py + SURVEY §6).
+Benchmark: w1-shaped (4096x14336) effort matvec at effort=25% vs dense
+bf16 on the MXU, on the PRODUCTION path: row-prefix MXU kernel
+(bucket_size=1, fused in-kernel selection, kernels/fused_stream.py) with
+the calibration permutation BAKED into the weight layout (as the
+whole-model relayout pass does — no runtime gather). Activations:
+synthetic persistent-outlier (lognormal per-dim rms), the empirically
+universal LLM decode regime.
+
+Timing: chained-slope (utils/timing.py) with a WORKLOAD-PRESERVING
+bounce: v' = v * sign(y) keeps |v| (and therefore the selection and the
+read volume) identical every iteration while staying data-dependent.
+(A tanh-style bounce distorts the activation distribution and measures a
+different selection workload than the one quality is quoted at.)
+
 Baseline target (BASELINE.md): >=1.8x dense decode throughput at 25%
 effort with reference-matching quality. vs_baseline = speedup / 1.8.
 
-Timing: chained-slope method (utils/timing.py) — the only honest wall-clock
-methodology through this sandbox's device tunnel.
+detail.rank_prefix_* report the bucket_size=4 rank-prefix (VPU scatter)
+kernel — the finest-granularity path, quality king under uniform
+activations — on the same honest chain.
 """
 
 import json
-import sys
 
 import numpy as np
 
@@ -23,79 +34,96 @@ def main():
     import jax.numpy as jnp
     import effort_tpu  # noqa: F401
     from effort_tpu.config import BucketConfig
-    from effort_tpu.ops.bucketize import bucketize
+    from effort_tpu.ops.bucketize import bucketize, calib_row_order
     from effort_tpu.ops.bucketmul import dense_matvec
-    from effort_tpu.kernels.prefix_stream import (select_stream,
-                                                  stream_matvec)
+    from effort_tpu.kernels.fused_stream import fused_matvec, mxu_matvec
     from effort_tpu.utils.timing import chain_time
 
     IN, OUT = 4096, 14336
-    B, G, TGB = 4, 16, 8
     EFFORT, ALPHA = 0.25, 1.3
 
     wt = jax.random.normal(jax.random.key(0), (IN, OUT), jnp.float32) * 0.02
     rms = jnp.exp(jax.random.normal(jax.random.key(5), (IN,)) * 1.2)
-    bcfg = BucketConfig(bucket_size=B, chunk_rows=G)
-    bm = bucketize(wt, bcfg, act_rms=rms, perm_segment=1, keep_dense=True)
-    wt_bf16 = wt.astype(jnp.bfloat16)
-    NB = bm.blocks_per_expert
+    pi = calib_row_order(rms)
+    rms_p = rms[pi]                       # permuted-space activation scale
+
+    bm1 = bucketize(wt, BucketConfig(bucket_size=1, chunk_rows=128),
+                    in_perm=pi, keep_dense=True)
+    bm4 = bucketize(wt, BucketConfig(bucket_size=4, chunk_rows=16),
+                    in_perm=pi, keep_dense=True)
 
     def acts(seed):
-        return rms * jax.random.normal(jax.random.key(seed), (IN,))
+        # generated directly in the baked-permutation space
+        return rms_p * jax.random.normal(jax.random.key(seed), (IN,))
 
-    # dense baseline: in/out dims differ, so bounce back via a cheap slice
+    def bounce(y, v):
+        return v * jnp.where(y[:IN] >= 0, 1.0, -1.0)
+
     def mk_dense(n):
         @jax.jit
         def run(v, w):
             def body(i, v):
-                y = dense_matvec(v, w)
-                return jnp.tanh(y[:IN] * 0.02 + y[IN:2 * IN] * 0.01)
+                return bounce(dense_matvec(v, w), v)
             return jax.lax.fori_loop(0, n, body, v)
         return run
     t_dense = chain_time(mk_dense, 8, 104,
-                         [(acts(100 + i), wt_bf16) for i in range(12)])
+                         [(acts(100 + i), bm1.dense[0]) for i in range(12)])
 
-    def mk_stream(n):
+    def mk_mxu(n):
         @jax.jit
         def run(v, bmx):
             def body(i, v):
-                s = select_stream(bmx, v, EFFORT, 0, alpha=ALPHA,
-                                  tile_blocks=TGB)
-                y = stream_matvec(bmx, s, TGB)
-                return jnp.tanh(y[:IN] * 0.02 + y[IN:2 * IN] * 0.01)
+                return bounce(mxu_matvec(bmx, v, EFFORT, 0, alpha=ALPHA), v)
             return jax.lax.fori_loop(0, n, body, v)
         return run
-    t_eff = chain_time(mk_stream, 8, 104,
-                       [(acts(300 + i), bm) for i in range(12)])
+    t_mxu = chain_time(mk_mxu, 8, 104,
+                       [(acts(300 + i), bm1) for i in range(12)])
 
-    # quality + read fraction at the benchmark's operating point
+    def mk_rank(n):
+        @jax.jit
+        def run(v, bmx):
+            def body(i, v):
+                return bounce(fused_matvec(bmx, v, EFFORT, 0, alpha=ALPHA,
+                                           tile_blocks=8), v)
+            return jax.lax.fori_loop(0, n, body, v)
+        return run
+    t_rank = chain_time(mk_rank, 8, 104,
+                        [(acts(500 + i), bm4) for i in range(12)])
+
+    # quality at the SAME operating point (same distribution as the chain)
+    def cos_vs_dense(y, v):
+        yd = np.asarray(dense_matvec(v, bm1.dense[0]))
+        y = np.asarray(y)
+        return float(y @ yd / (np.linalg.norm(y) * np.linalg.norm(yd)
+                               + 1e-30))
     v = acts(999)
-    sel = select_stream(bm, v, EFFORT, 0, alpha=ALPHA, tile_blocks=TGB)
-    read_frac = float(sel.cum_tiles[-1]) / (NB // TGB)
-    y = np.asarray(stream_matvec(bm, sel, TGB))
-    yd = np.asarray(dense_matvec(bm.permute_v(v, 0), bm.dense[0])
-                    if bm.dense is not None else
-                    dense_matvec(bm.permute_v(v, 0),
-                                 bm.reconstruct_dense().astype(
-                                     jnp.bfloat16)))
-    cos = float(y @ yd / (np.linalg.norm(y) * np.linalg.norm(yd) + 1e-30))
+    cos1 = cos_vs_dense(mxu_matvec(bm1, v, EFFORT, 0, alpha=ALPHA), v)
+    cos4 = cos_vs_dense(fused_matvec(bm4, v, EFFORT, 0, alpha=ALPHA,
+                                     tile_blocks=8), v)
 
-    speedup = t_dense / t_eff
+    speedup = t_dense / t_mxu
     out = {
-        "metric": "bucketMul w1-matvec speedup at effort=25% vs dense bf16"
-                  " (1 chip, calibrated layout)",
+        "metric": "effort matvec speedup at effort=25% vs dense bf16, "
+                  "w1 shape 4096x14336 (1 chip, row-prefix MXU kernel, "
+                  "baked calibration, workload-preserving chain)",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / 1.8, 3),
         "detail": {
             "t_dense_us": round(t_dense * 1e6, 1),
-            "t_effort25_us": round(t_eff * 1e6, 1),
-            "cos_sim_vs_dense": round(cos, 4),
+            "t_mxu_us": round(t_mxu * 1e6, 1),
+            "cos_vs_dense": round(cos1, 4),
             "dense_GBps": round(IN * OUT * 2 / t_dense / 1e9, 1),
-            "weight_read_frac": round(read_frac, 3),
+            "rank_prefix_us": round(t_rank * 1e6, 1),
+            "rank_prefix_x": round(t_dense / t_rank, 3),
+            "rank_prefix_cos": round(cos4, 4),
+            "model_level": "scripts/model_bench.py 4 bf16 @e0.25 B=1 "
+                           "calibrated: 2.14x dense decode (773 tok/s, "
+                           "4-layer Mistral dims, v5e-1)",
             "activations": "synthetic persistent-outlier (lognormal rms)",
-            "config": {"B": B, "G": G, "tile_blocks": TGB, "alpha": ALPHA,
-                       "kernel": "prefix-stream", "dtype": "bf16"},
+            "config": {"effort": EFFORT, "alpha": ALPHA,
+                       "kernel": "fused mxu row-prefix B=1 / "
+                                 "fused rank-prefix B=4", "dtype": "bf16"},
         },
     }
     print(json.dumps(out))

@@ -344,45 +344,147 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
     return logits, k_cache, v_cache
 
 
-def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
-                        seed: int = 0, keep_dense: bool = False,
-                        scale: float = 0.02) -> ModelWeights:
-    """Random-weight model (no public checkpoints ship with this repo);
-    used by tests and synthetic benchmarks.
+def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
+                      rms_m=None, rms_f=None) -> dict:
+    """Random dense weight tensors (on device — the sandbox host<->TPU
+    tunnel moves ~6.5 MB/s, so host generation is not viable).
 
-    Weights are generated ON DEVICE (jax.random): the sandbox's host<->TPU
-    tunnel moves only ~6.5 MB/s, so host-side generation + transfer of
-    GB-scale weights is not viable.
+    rms_m [dim] / rms_f [hidden] optionally IMPRINT persistent-outlier
+    activation structure (the empirically-universal LLM pattern, cf.
+    LLM.int8 outlier dims): every producer writing into a space scales
+    its output columns by that space's rms, so the model's real
+    activations exhibit the per-dim magnitudes calibration assumes.
     """
     key = jax.random.key(seed)
     keys = iter(jax.random.split(key, 16))
     L, E, dim, hid = cfg.n_layers, cfg.n_experts, cfg.dim, cfg.hidden_dim
-
-    def bucketed(n_inst, in_d, out_d):
-        wt = jax.random.normal(next(keys), (n_inst, in_d, out_d),
-                               jnp.float32) * scale
-        return bucketize(wt, bcfg, keep_dense=keep_dense)
-
     q_out = cfg.n_heads * cfg.head_dim
     kv_out = cfg.n_kv_heads * cfg.head_dim
-    layers = LayerWeights(
+
+    def mk(n_inst, in_d, out_d, col_scale=None):
+        wt = jax.random.normal(next(keys), (n_inst, in_d, out_d),
+                               jnp.float32) * scale
+        if col_scale is not None:
+            wt = wt * col_scale[None, None, :]
+        return wt
+
+    raw = dict(
+        wq=mk(L, dim, q_out),
+        wk=mk(L, dim, kv_out),
+        wv=mk(L, dim, kv_out),
+        wo=mk(L, q_out, dim, rms_m),
+        w1=mk(L * E, dim, hid, rms_f),
+        w2=mk(L * E, hid, dim, rms_m),
+        w3=mk(L * E, dim, hid, rms_f),
+        ffn_gate=(jax.random.normal(next(keys), (L, dim, E)) * scale
+                  if E > 1 else None),
+        tok_embeddings=jax.random.normal(
+            next(keys), (cfg.vocab_size, dim)) * scale
+        * (rms_m[None, :] if rms_m is not None else 1.0),
+        output=jax.random.normal(next(keys), (dim, cfg.vocab_size)) * scale,
         attn_norm=jnp.ones((L, dim), jnp.float32),
         ffn_norm=jnp.ones((L, dim), jnp.float32),
-        wq=bucketed(L, dim, q_out),
-        wk=bucketed(L, dim, kv_out),
-        wv=bucketed(L, dim, kv_out),
-        wo=bucketed(L, q_out, dim),
-        w1=bucketed(L * E, dim, hid),
-        w2=bucketed(L * E, hid, dim),
-        w3=bucketed(L * E, dim, hid),
-        ffn_gate=((jax.random.normal(next(keys), (L, dim, E)) * scale
-                   ).astype(jnp.bfloat16) if E > 1 else None),
+        norm=jnp.ones((dim,), jnp.float32),
+    )
+    return raw
+
+
+def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
+                     keep_dense: bool = False, rms_m=None, rms_f=None,
+                     bake: bool = True) -> ModelWeights:
+    """Bucketize raw dense tensors into ModelWeights.
+
+    With rms calibration and bake=True, the WHOLE-MODEL RELAYOUT pass
+    runs: the residual space is permuted once (pi_m, descending rms) and
+    each FFN hidden space likewise (pi_f), absorbed entirely into weights:
+
+      pi_m: tok_embeddings cols, wq/wk/wv/w1/w3 input rows, wo/w2 output
+            cols, norm weights, lm-head rows.
+      pi_f: w1/w3 output cols, w2 input rows.
+
+    The forward pass is UNCHANGED and no runtime gather exists anywhere
+    (vs ~25us per matvec for the runtime seg_order permute). wo's input
+    (attention output) stays unpermuted in this pass.
+    bake=False keeps the runtime-permute (seg_order) form instead — used
+    for equivalence tests.
+    """
+    from effort_tpu.ops.bucketize import calib_row_order
+    pi_m = calib_row_order(rms_m) if rms_m is not None else None
+    pi_f = calib_row_order(rms_f) if rms_f is not None else None
+
+    def bucketed(wt, in_rms=None, in_pi=None, out_pi=None):
+        b = bcfg
+        if b.bucket_size == 1:
+            # row-prefix MXU layout: chunk_rows only sets the DMA tile
+            # (selection is per-row regardless) — pick per-matrix for
+            # ~3 MB tiles so small matrices aren't per-tile-bound
+            in_d, out_d = wt.shape[-2], wt.shape[-1]
+            item = {"bf16": 2, "int8": 1, "int4": 0.5}[b.dtype]
+            G = b.chunk_rows
+            for cand in (1024, 512, 256, 128):
+                if in_d % cand == 0 and cand * out_d * item <= 3 * 2**20:
+                    G = max(G, cand)
+                    break
+            b = dataclasses.replace(b, chunk_rows=G)
+        if bake:
+            return bucketize(wt, b, keep_dense=keep_dense,
+                             in_perm=in_pi, out_perm=out_pi)
+        return bucketize(wt, b, keep_dense=keep_dense,
+                         act_rms=in_rms, perm_segment=1)
+
+    out_head = raw["output"]
+    emb = raw["tok_embeddings"]
+    attn_norm, ffn_norm, norm = (raw["attn_norm"], raw["ffn_norm"],
+                                 raw["norm"])
+    if bake and pi_m is not None:
+        emb = emb[:, pi_m]
+        out_head = out_head[pi_m, :]
+        attn_norm = attn_norm[:, pi_m]
+        ffn_norm = ffn_norm[:, pi_m]
+        norm = norm[pi_m]
+
+    layers = LayerWeights(
+        attn_norm=attn_norm,
+        ffn_norm=ffn_norm,
+        wq=bucketed(raw["wq"], rms_m, pi_m),
+        wk=bucketed(raw["wk"], rms_m, pi_m),
+        wv=bucketed(raw["wv"], rms_m, pi_m),
+        wo=bucketed(raw["wo"], None, None,
+                    pi_m if bake else None),
+        w1=bucketed(raw["w1"], rms_m, pi_m, pi_f),
+        w2=bucketed(raw["w2"], rms_f, pi_f, pi_m),
+        w3=bucketed(raw["w3"], rms_m, pi_m, pi_f),
+        ffn_gate=(None if raw["ffn_gate"] is None else
+                  (raw["ffn_gate"][:, pi_m, :] if bake and pi_m is not None
+                   else raw["ffn_gate"]).astype(jnp.bfloat16)),
     )
     return ModelWeights(
-        tok_embeddings=(jax.random.normal(
-            next(keys), (cfg.vocab_size, dim)) * scale).astype(jnp.bfloat16),
-        norm=jnp.ones((dim,), jnp.float32),
-        output=(jax.random.normal(
-            next(keys), (dim, cfg.vocab_size)) * scale).astype(jnp.bfloat16),
+        tok_embeddings=emb.astype(jnp.bfloat16),
+        norm=norm,
+        output=out_head.astype(jnp.bfloat16),
         layers=layers,
     )
+
+
+def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
+                        seed: int = 0, keep_dense: bool = False,
+                        scale: float = 0.02, calibrate: bool = False,
+                        rms_sigma: float = 1.2) -> ModelWeights:
+    """Random-weight model (no public checkpoints ship with this repo);
+    used by tests and synthetic benchmarks.
+
+    calibrate=True imprints persistent-outlier activation structure
+    (lognormal per-dim rms) into the weights AND runs the whole-model
+    baked-relayout pass on it (see assemble_weights).
+    """
+    rms_m = rms_f = None
+    if calibrate:
+        key = jax.random.key(seed + 777)
+        k1, k2 = jax.random.split(key)
+        rms_m = jnp.exp(jax.random.normal(k1, (cfg.dim,)) * rms_sigma)
+        rms_f = jnp.exp(jax.random.normal(k2, (cfg.hidden_dim,))
+                        * rms_sigma)
+    raw = synth_raw_weights(cfg, seed=seed, scale=scale, rms_m=rms_m,
+                            rms_f=rms_f)
+    return assemble_weights(raw, cfg, bcfg, keep_dense=keep_dense,
+                            rms_m=rms_m, rms_f=rms_f)

@@ -50,8 +50,14 @@ def _to_blocks(x: jax.Array, n_chunks: int, G: int, K: int) -> jax.Array:
     return x.reshape(E * n_chunks * K, G, nb)
 
 
+def calib_row_order(act_rms) -> jax.Array:
+    """Descending-|activation| input-row order for baked permutation."""
+    return jnp.argsort(-jnp.asarray(act_rms, jnp.float32)).astype(jnp.int32)
+
+
 def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
-              act_rms=None, perm_segment: int = 0) -> BucketedMatrix:
+              act_rms=None, perm_segment: int = 0,
+              in_perm=None, out_perm=None) -> BucketedMatrix:
     """Convert dense transposed weights to the bucketized format.
 
     wt: [in_dim, out_dim] or [E, in_dim, out_dim] (multi-expert, the packed
@@ -59,12 +65,38 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
     act_rms: optional [in_dim] typical activation magnitude per input dim
     (calibration). When given, input dims are permuted so similar-|v| dims
     share a chunk, which collapses the chunk-level read amplification of
-    the gather kernel (LLM activation outlier dims are persistent).
+    the gather kernel (LLM activation outlier dims are persistent). The
+    permutation is applied to v AT RUNTIME (seg_order in the container).
+
+    in_perm: optional [in_dim] (or [E, in_dim]) int32 — BAKED input-row
+    permutation: rows are physically reordered and NO runtime permute
+    happens (seg_order stays None). Used by the whole-model relayout pass
+    (models.transformer.init_random_weights / convert) where the
+    surrounding weights absorb the permutation, making the runtime gather
+    (measured ~25us/call through XLA) free. Mutually exclusive with
+    act_rms.
+    out_perm: optional [out_dim] (or [E, out_dim]) int32 — output-column
+    permutation applied before bucketing (the producer of this matrix's
+    input space was itself permuted).
     """
     wt = jnp.asarray(wt)
     if wt.ndim == 2:
         wt = wt[None]
     E, in_dim, out_dim = wt.shape
+
+    if out_perm is not None:
+        op = jnp.asarray(out_perm, jnp.int32)
+        if op.ndim == 1:
+            wt = wt[:, :, op]
+        else:
+            wt = jnp.stack([wt[e][:, op[e]] for e in range(E)])
+    if in_perm is not None:
+        assert act_rms is None, "in_perm (baked) excludes act_rms (runtime)"
+        ip = jnp.asarray(in_perm, jnp.int32)
+        if ip.ndim == 1:
+            wt = wt[:, ip, :]
+        else:
+            wt = jnp.stack([wt[e][ip[e]] for e in range(E)])
 
     seg_order = None
     if act_rms is not None:

@@ -5,7 +5,8 @@ per-token time via the two-length slope of the jitted decode scan
 (normalized per layer, like the reference normalizes to 32 layers,
 runNetwork.swift:299-303).
 
-Usage: model_bench.py [n_layers] [dtype] [efforts_csv]
+Usage: model_bench.py [n_layers] [dtype] [efforts_csv] [bucket_size]
+       [calibrate 0|1]
 """
 
 import sys
@@ -27,12 +28,18 @@ def main():
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bf16"
     efforts = ([float(x) for x in sys.argv[3].split(",")]
                if len(sys.argv) > 3 else [1.0, 0.5, 0.25])
+    B = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    calibrate = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     cfg = mistral_7b(n_layers=L, max_seq_len=256)
-    bcfg = BucketConfig(bucket_size=4, chunk_rows=16, dtype=dtype)
+    bcfg = BucketConfig(bucket_size=B, chunk_rows=16 if B > 1 else 128,
+                        dtype=dtype)
     t0 = time.time()
-    w = init_random_weights(cfg, bcfg, seed=0, keep_dense=(dtype == "bf16"))
+    w = init_random_weights(cfg, bcfg, seed=0,
+                            keep_dense=(dtype == "bf16"),
+                            calibrate=calibrate)
     jax.block_until_ready(w.layers.w1.vals)
-    print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype}", flush=True)
+    print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype} B={B} "
+          f"calibrate={calibrate}", flush=True)
 
     def decode(w, tok0, n, effort, impl):
         k_cache, v_cache = make_kv_cache(cfg)
