@@ -66,6 +66,10 @@ def main(argv=None):
     p.add_argument("--impl", default="auto",
                    choices=["auto", "jnp", "pallas", "dense"])
     p.add_argument("--keep-dense", action="store_true")
+    p.add_argument("--calib", default=None,
+                   help="convert: .npz with rms_m/rms_f activation "
+                        "calibration -> baked whole-model relayout "
+                        "(see convert/calibrate.py)")
     p.add_argument("--prompt", default="How are")
     p.add_argument("--n-tokens", type=int, default=30)
     p.add_argument("--quiz-file", default=None)
@@ -81,7 +85,7 @@ def main(argv=None):
                "mixtral-8x7b": mixtral_8x7b()}[args.model]
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
-        convert_checkpoint(args.src, args.dst, cfg, bcfg)
+        convert_checkpoint(args.src, args.dst, cfg, bcfg, calib=args.calib)
         return
 
     if args.mode == "bucket":

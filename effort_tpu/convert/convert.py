@@ -69,12 +69,21 @@ def _to_bits_bf16(x) -> np.ndarray:
 
 def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
                          w_hf: np.ndarray, bcfg: BucketConfig,
-                         store_core: bool = False, act_rms=None):
-    """w_hf: HF layout [out_features, in_features]; bucketize its transpose."""
-    from effort_tpu.ops.bucketize import bucketize
+                         store_core: bool = False, act_rms=None,
+                         in_perm=None, out_perm=None):
+    """w_hf: HF layout [out_features, in_features]; bucketize its transpose.
+
+    in_perm/out_perm: baked relayout permutations (see
+    models/transformer.assemble_weights) — mutually exclusive with
+    act_rms (runtime seg_order calibration)."""
+    import dataclasses as _dc
+    from effort_tpu.ops.bucketize import bucketize, pick_chunk_rows
     import jax.numpy as jnp
     wt = jnp.asarray(w_hf.T)                        # [in, out]
-    bm = bucketize(wt, bcfg, act_rms=act_rms)
+    bcfg = _dc.replace(bcfg, chunk_rows=pick_chunk_rows(
+        bcfg, wt.shape[0], wt.shape[1]))
+    bm = bucketize(wt, bcfg, act_rms=act_rms, in_perm=in_perm,
+                   out_perm=out_perm)
     writer.add(prefix + ".vals",
                _to_bits_bf16(bm.vals[:-1]) if bm.dtype_name == "bf16"
                else np.asarray(bm.vals[:-1]),
@@ -91,56 +100,100 @@ def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
         writer.add(prefix + ".seg_order", np.asarray(bm.seg_order[0]))
     if store_core:
         # dense copy, like the reference's optional "core" tensors
-        writer.add(prefix + ".core", _to_bits_bf16(wt), bf16_bits=True)
+        # (stored in the same baked row/col order as the buckets)
+        wt_c = wt if out_perm is None else wt[:, jnp.asarray(out_perm)]
+        if in_perm is not None:
+            wt_c = wt_c[jnp.asarray(in_perm), :]
+        writer.add(prefix + ".core", _to_bits_bf16(wt_c), bf16_bits=True)
 
 
 def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
                        bcfg: BucketConfig, family: Optional[str] = None,
-                       store_core: bool = False,
+                       store_core: bool = False, calib: Optional[Dict] = None,
                        progress=print) -> str:
-    """Convert an HF checkpoint directory to the effort-tpu bucket format."""
+    """Convert an HF checkpoint directory to the effort-tpu bucket format.
+
+    calib: optional {"rms_m": [dim], "rms_f": [hidden]} activation
+    calibration (from convert/calibrate.py collect_act_rms, or an .npz
+    path) — runs the whole-model BAKED relayout during conversion: the
+    residual and FFN-hidden spaces are permuted by descending rms and the
+    permutations absorbed into the weights (embedding columns,
+    projection input rows, producer output columns, norms, lm head), so
+    the served model needs no runtime permute anywhere.
+    """
+    import numpy as _np
     family = family or ("mixtral" if cfg.is_moe else "mistral")
     names = HF_NAME_MAPS[family]
     src = MultiShardReader(src_dir)
     model_tag = f"buckets-{bcfg.dtype.upper()}"
     writer = SafeTensorWriter(dst_dir, model_tag)
 
-    writer.add("norm", src.get_f32(names["norm"]))
-    writer.add("tok_embeddings", _to_bits_bf16(src.get_f32(names["embed"])),
+    pi_m = pi_f = None
+    if calib is not None:
+        if isinstance(calib, str):
+            calib = dict(_np.load(calib))
+        pi_m = np.argsort(-np.asarray(calib["rms_m"])).astype(np.int32)
+        if "rms_f" in calib:
+            pi_f = np.argsort(-np.asarray(calib["rms_f"])).astype(np.int32)
+
+    def permuted(x, perm, axis=0):
+        return x if perm is None else np.take(np.asarray(x), perm, axis=axis)
+
+    writer.add("norm", permuted(src.get_f32(names["norm"]), pi_m))
+    writer.add("tok_embeddings",
+               _to_bits_bf16(permuted(src.get_f32(names["embed"]), pi_m,
+                                      axis=1)),
                bf16_bits=True)
     lm = names["lm_head"]
     if lm in src:
         out_w = src.get_f32(lm)
     else:  # tied embeddings
         out_w = src.get_f32(names["embed"])
-    writer.add("output", _to_bits_bf16(out_w.T), bf16_bits=True)
+    writer.add("output", _to_bits_bf16(permuted(out_w.T, pi_m)),
+               bf16_bits=True)
+
+    # baked perms per projection (models/transformer.assemble_weights):
+    # in_perm: what this matrix's INPUT space was permuted by;
+    # out_perm: the consumer space's permutation (this matrix produces it)
+    proj_perms = {"wq": (pi_m, None), "wk": (pi_m, None),
+                  "wv": (pi_m, None), "wo": (None, pi_m),
+                  "w1": (pi_m, pi_f), "w3": (pi_m, pi_f),
+                  "w2": (pi_f, pi_m)}
 
     for l in range(cfg.n_layers):
         progress(f"converting layer {l}/{cfg.n_layers}")
         pre = f"layers.{l}."
         writer.add(pre + "attention_norm",
-                   src.get_f32(names["attn_norm"].format(l=l)))
+                   permuted(src.get_f32(names["attn_norm"].format(l=l)),
+                            pi_m))
         writer.add(pre + "ffn_norm",
-                   src.get_f32(names["ffn_norm"].format(l=l)))
+                   permuted(src.get_f32(names["ffn_norm"].format(l=l)),
+                            pi_m))
         for p in ("wq", "wk", "wv", "wo"):
+            ip, op = proj_perms[p]
             _bucketize_and_store(
                 writer, pre + f"attention.{p}",
-                src.get_f32(names[p].format(l=l)), bcfg, store_core)
+                src.get_f32(names[p].format(l=l)), bcfg, store_core,
+                in_perm=ip, out_perm=op)
         if cfg.is_moe:
             writer.add(pre + "ffn_gate",
-                       _to_bits_bf16(src.get_f32(names["gate"].format(l=l)).T),
+                       _to_bits_bf16(permuted(
+                           src.get_f32(names["gate"].format(l=l)).T, pi_m)),
                        bf16_bits=True)
             for e in range(cfg.n_experts):
                 for p in ("w1", "w2", "w3"):
+                    ip, op = proj_perms[p]
                     _bucketize_and_store(
                         writer, pre + f"feed_forward.experts.{e}.{p}",
                         src.get_f32(names[p].format(l=l, e=e)), bcfg,
-                        store_core)
+                        store_core, in_perm=ip, out_perm=op)
         else:
             for p in ("w1", "w2", "w3"):
+                ip, op = proj_perms[p]
                 _bucketize_and_store(
                     writer, pre + f"feed_forward.experts.0.{p}",
-                    src.get_f32(names[p].format(l=l)), bcfg, store_core)
+                    src.get_f32(names[p].format(l=l)), bcfg, store_core,
+                    in_perm=ip, out_perm=op)
     writer.save()
     src.close()
 

@@ -345,7 +345,7 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
 
 
 def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
-                      rms_m=None, rms_f=None) -> dict:
+                      rms_m=None, rms_f=None, lazy: bool = False) -> dict:
     """Random dense weight tensors (on device — the sandbox host<->TPU
     tunnel moves ~6.5 MB/s, so host generation is not viable).
 
@@ -354,6 +354,11 @@ def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
     LLM.int8 outlier dims): every producer writing into a space scales
     its output columns by that space's rms, so the model's real
     activations exhibit the per-dim magnitudes calibration assumes.
+
+    lazy=True returns the projection entries as (maker, n_inst, in, out)
+    tuples that generate instance slices on demand — a 32-layer model's
+    full-precision tensors (~28 GB f32) cannot be materialized at once;
+    assemble_weights bucketizes them chunk by chunk.
     """
     key = jax.random.key(seed)
     keys = iter(jax.random.split(key, 16))
@@ -362,11 +367,18 @@ def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
     kv_out = cfg.n_kv_heads * cfg.head_dim
 
     def mk(n_inst, in_d, out_d, col_scale=None):
-        wt = jax.random.normal(next(keys), (n_inst, in_d, out_d),
-                               jnp.float32) * scale
-        if col_scale is not None:
-            wt = wt * col_scale[None, None, :]
-        return wt
+        k = next(keys)
+
+        def maker(start, n):
+            ks = jax.random.fold_in(k, start)
+            wt = jax.random.normal(ks, (n, in_d, out_d),
+                                   jnp.float32) * scale
+            if col_scale is not None:
+                wt = wt * col_scale[None, None, :]
+            return wt
+        if lazy:
+            return (maker, n_inst, in_d, out_d)
+        return maker(0, n_inst)
 
     raw = dict(
         wq=mk(L, dim, q_out),
@@ -409,28 +421,33 @@ def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
     for equivalence tests.
     """
     from effort_tpu.ops.bucketize import calib_row_order
+    from effort_tpu.ops.layouts import concat_bucketed
     pi_m = calib_row_order(rms_m) if rms_m is not None else None
     pi_f = calib_row_order(rms_f) if rms_f is not None else None
 
     def bucketed(wt, in_rms=None, in_pi=None, out_pi=None):
-        b = bcfg
-        if b.bucket_size == 1:
-            # row-prefix MXU layout: chunk_rows only sets the DMA tile
-            # (selection is per-row regardless) — pick per-matrix for
-            # ~3 MB tiles so small matrices aren't per-tile-bound
-            in_d, out_d = wt.shape[-2], wt.shape[-1]
-            item = {"bf16": 2, "int8": 1, "int4": 0.5}[b.dtype]
-            G = b.chunk_rows
-            for cand in (1024, 512, 256, 128):
-                if in_d % cand == 0 and cand * out_d * item <= 3 * 2**20:
-                    G = max(G, cand)
-                    break
-            b = dataclasses.replace(b, chunk_rows=G)
-        if bake:
-            return bucketize(wt, b, keep_dense=keep_dense,
-                             in_perm=in_pi, out_perm=out_pi)
-        return bucketize(wt, b, keep_dense=keep_dense,
-                         act_rms=in_rms, perm_segment=1)
+        """wt: [n_inst, in, out] array OR (maker, n_inst, in_d, out_d)
+        where maker(start, n) yields that instance slice — chunked so
+        full-precision sources never exceed ~1 GB of HBM at once."""
+        if isinstance(wt, tuple):
+            maker, n_inst, in_d, out_d = wt
+        else:
+            maker = partial(jax.lax.dynamic_slice_in_dim, wt, axis=0)
+            n_inst, in_d, out_d = wt.shape
+        from effort_tpu.ops.bucketize import pick_chunk_rows
+        b = dataclasses.replace(
+            bcfg, chunk_rows=pick_chunk_rows(bcfg, in_d, out_d))
+        chunk = max(1, int(2**30 // (in_d * out_d * 4)))
+        parts = []
+        for s in range(0, n_inst, chunk):
+            wt_c = maker(s, min(chunk, n_inst - s))
+            if bake:
+                parts.append(bucketize(wt_c, b, keep_dense=keep_dense,
+                                       in_perm=in_pi, out_perm=out_pi))
+            else:
+                parts.append(bucketize(wt_c, b, keep_dense=keep_dense,
+                                       act_rms=in_rms, perm_segment=1))
+        return concat_bucketed(parts)
 
     out_head = raw["output"]
     emb = raw["tok_embeddings"]
@@ -485,6 +502,7 @@ def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
         rms_f = jnp.exp(jax.random.normal(k2, (cfg.hidden_dim,))
                         * rms_sigma)
     raw = synth_raw_weights(cfg, seed=seed, scale=scale, rms_m=rms_m,
-                            rms_f=rms_f)
+                            rms_f=rms_f,
+                            lazy=cfg.n_layers * cfg.n_experts > 8)
     return assemble_weights(raw, cfg, bcfg, keep_dense=keep_dense,
                             rms_m=rms_m, rms_f=rms_f)

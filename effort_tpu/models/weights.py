@@ -68,7 +68,9 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
 
     stats = jnp.stack(stats_l)                     # [E, in, K_stored]
     E, in_dim, K_stored = stats.shape
-    G = bcfg.chunk_rows
+    # chunk size is a per-matrix layout choice (B=1 picks it for ~3 MB
+    # DMA tiles); recover it from the stored block shape
+    G = vals_l[0].shape[1]
     NB_inst = vals_l[0].shape[0]
     OB = vals_l[0].shape[2]  # vals (not pos — pos is bit-packed)
     B = bcfg.bucket_size

@@ -55,6 +55,20 @@ def calib_row_order(act_rms) -> jax.Array:
     return jnp.argsort(-jnp.asarray(act_rms, jnp.float32)).astype(jnp.int32)
 
 
+def pick_chunk_rows(cfg: BucketConfig, in_dim: int, out_dim: int) -> int:
+    """Per-matrix chunk size. For the row-prefix MXU layout
+    (bucket_size=1) chunk_rows only sets the DMA tile; target ~3 MB so
+    narrow matrices aren't per-tile bound."""
+    if cfg.bucket_size != 1:
+        return cfg.chunk_rows
+    item = {"bf16": 2, "int8": 1, "int4": 0.5}[cfg.dtype]
+    G = cfg.chunk_rows
+    for cand in (1024, 512, 256, 128):
+        if in_dim % cand == 0 and cand * out_dim * item <= 3 * 2**20:
+            return max(G, cand)
+    return G
+
+
 def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
               act_rms=None, perm_segment: int = 0,
               in_perm=None, out_perm=None) -> BucketedMatrix:

@@ -192,6 +192,42 @@ class BucketedMatrix:
         return total
 
 
+def concat_bucketed(bms: list) -> BucketedMatrix:
+    """Concatenate BucketedMatrix parts along the instance (expert) axis.
+
+    Used by chunked conversion/init: full-precision source tensors for a
+    32-layer model do not fit HBM at once, so matrices are bucketized a
+    few instances at a time and merged here. All parts must share dims
+    and config; the trailing all-zero block is deduplicated.
+    """
+    a = bms[0]
+    if len(bms) == 1:
+        return a
+
+    def cat(field, strip_zero=False):
+        xs = [getattr(b, field) for b in bms]
+        if any(x is None for x in xs):
+            assert all(x is None for x in xs), field
+            return None
+        if strip_zero:
+            xs = [x[:-1] for x in xs] + [xs[0][-1:]]
+        return jnp.concatenate(xs, axis=0)
+
+    return dataclasses.replace(
+        a,
+        vals=cat("vals", strip_zero=True),
+        pos=cat("pos", strip_zero=True),
+        stats=cat("stats"),
+        probes=cat("probes"),
+        scales=cat("scales"),
+        outlier_vals=cat("outlier_vals"),
+        outlier_idx=cat("outlier_idx"),
+        dense=cat("dense"),
+        seg_order=cat("seg_order"),
+        n_experts=sum(b.n_experts for b in bms),
+    )
+
+
 def _dequant(vals: jax.Array, scales: Optional[jax.Array]) -> jax.Array:
     """Dequantize bucket values to f32. vals [in,K,nb]; scales [in,K]."""
     if vals.dtype == jnp.bfloat16 or vals.dtype == jnp.float32:

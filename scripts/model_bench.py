@@ -34,8 +34,8 @@ def main():
     bcfg = BucketConfig(bucket_size=B, chunk_rows=16 if B > 1 else 128,
                         dtype=dtype)
     t0 = time.time()
-    w = init_random_weights(cfg, bcfg, seed=0,
-                            keep_dense=(dtype == "bf16"),
+    keep_dense = dtype == "bf16" and L <= 8   # dense copies blow HBM at depth
+    w = init_random_weights(cfg, bcfg, seed=0, keep_dense=keep_dense,
                             calibrate=calibrate)
     jax.block_until_ready(w.layers.w1.vals)
     print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype} B={B} "
@@ -78,7 +78,7 @@ def main():
         return time.perf_counter() - t0
 
     results = {}
-    if dtype == "bf16":
+    if keep_dense:
         t, c = bench(1.0, "dense")
         results["dense"] = t
         print(f"dense     : {t*1e3:7.2f} ms/tok ({1/t:6.1f} tok/s; "

@@ -101,3 +101,56 @@ def test_truncated_load(tmp_path, rng):
     logits, _, _ = forward_token(w_half, cfg, jnp.asarray(3), jnp.asarray(0),
                                  k, v, effort=1.0, impl="jnp")
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_calibrated_bake_equivalence(tmp_path, rng):
+    """Baked-relayout conversion must produce the same model function:
+    logits of the baked checkpoint == logits of the plain checkpoint."""
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    src = tmp_path / "hf"
+    _write_hf_ckpt(src, cfg, rng)
+    calib = {"rms_m": np.exp(rng.normal(0, 1.2, cfg.dim)),
+             "rms_f": np.exp(rng.normal(0, 1.2, cfg.hidden_dim))}
+
+    logits = {}
+    for tag, kw in (("plain", {}), ("baked", {"calib": calib})):
+        dst = tmp_path / tag
+        convert_checkpoint(str(src), str(dst), cfg, bcfg,
+                           progress=lambda *_: None, **kw)
+        w, cfg2, _ = load_bucketized(str(dst))
+        kc, vc = make_kv_cache(cfg2)
+        lg, _, _ = forward_token(w, cfg2, jnp.asarray(3), jnp.asarray(0),
+                                 kc, vc, effort=1.0, impl="jnp")
+        logits[tag] = np.asarray(lg)
+    a, b = logits["plain"], logits["baked"]
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+    assert cos > 0.9999, cos
+
+
+def test_convert_b1_mxu_layout(tmp_path, rng):
+    """bucket_size=1 (row-prefix MXU) checkpoints round-trip: per-matrix
+    chunk sizes are recovered from the stored shapes."""
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=8)
+    src, dst = tmp_path / "hf", tmp_path / "b1"
+    _write_hf_ckpt(src, cfg, rng)
+    convert_checkpoint(str(src), str(dst), cfg, bcfg,
+                       progress=lambda *_: None)
+    w, cfg2, _ = load_bucketized(str(dst))
+    kc, vc = make_kv_cache(cfg2)
+    lg, _, _ = forward_token(w, cfg2, jnp.asarray(3), jnp.asarray(0),
+                             kc, vc, effort=0.5, impl="jnp")
+    assert bool(jnp.isfinite(lg).all())
+
+
+def test_collect_act_rms(rng):
+    from effort_tpu.convert.calibrate import collect_act_rms
+    from effort_tpu.models.transformer import init_random_weights
+    cfg = tiny_test_model()
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+    out = collect_act_rms(w, cfg, [[1, 5, 9]])
+    assert out["rms_m"].shape == (cfg.dim,)
+    assert out["rms_f"].shape == (cfg.hidden_dim,)
+    assert bool(jnp.isfinite(out["rms_m"]).all())
+    assert float(out["rms_m"].min()) >= 0
