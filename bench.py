@@ -10,11 +10,13 @@ whole-model relayout pass does — no runtime gather). Activations:
 synthetic persistent-outlier (lognormal per-dim rms), the empirically
 universal LLM decode regime.
 
-Timing: chained-slope (utils/timing.py) with a WORKLOAD-PRESERVING
-bounce: v' = v * sign(y) keeps |v| (and therefore the selection and the
-read volume) identical every iteration while staying data-dependent.
-(A tanh-style bounce distorts the activation distribution and measures a
-different selection workload than the one quality is quoted at.)
+Timing: chained-slope (utils/timing.py) with the WORKLOAD-PRESERVING
+fold_bounce: v' = v * sign(fold(y)) keeps |v| (and therefore the
+selection and the read volume) identical every iteration, stays
+data-dependent, and consumes EVERY output element (a sliced bounce lets
+XLA dead-code-eliminate unread weight columns of the dense baseline; a
+tanh bounce distorts the activation distribution and measures a lighter
+selection than the one quality is quoted at).
 
 Baseline target (BASELINE.md): >=1.8x dense decode throughput at 25%
 effort with reference-matching quality. vs_baseline = speedup / 1.8.
@@ -56,8 +58,7 @@ def main():
         # generated directly in the baked-permutation space
         return rms_p * jax.random.normal(jax.random.key(seed), (IN,))
 
-    def bounce(y, v):
-        return v * jnp.where(y[:IN] >= 0, 1.0, -1.0)
+    from effort_tpu.utils.timing import fold_bounce as bounce
 
     def mk_dense(n):
         @jax.jit
@@ -117,9 +118,10 @@ def main():
             "rank_prefix_us": round(t_rank * 1e6, 1),
             "rank_prefix_x": round(t_dense / t_rank, 3),
             "rank_prefix_cos": round(cos4, 4),
-            "model_level": "scripts/model_bench.py 4 bf16 @e0.25 B=1 "
-                           "calibrated: 2.14x dense decode (773 tok/s, "
-                           "4-layer Mistral dims, v5e-1)",
+            "model_level": "scripts/model_bench.py: 4L bf16 @e0.25 "
+                           "2.14x dense (773 tok/s); 32L (full Mistral-7B "
+                           "depth) int8 202 tok/s @e0.25, 95.6 @e1.0; "
+                           "16L bf16 123 tok/s 32L-equiv @e0.25 (v5e-1)",
             "activations": "synthetic persistent-outlier (lognormal rms)",
             "config": {"effort": EFFORT, "alpha": ALPHA,
                        "kernel": "fused mxu row-prefix B=1 / "

@@ -291,6 +291,175 @@ def _make_kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
                              in_dim, P, effort, alpha, has_scales)
 
 
+def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
+                      alpha, has_scales,
+                      e_ref,
+                      v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
+                      eff_ref, vals_hbm,
+                      out_ref, vscr, uscr, vsem):
+    """Batched row-prefix variant: T decode slots share the weights; the
+    MXU's sublane rows (wasted as replicas in the single-vector kernel)
+    carry one slot each. Selection is per-slot with a PER-SLOT TRACED
+    effort (no recompile on effort change); the streamed prefix is the
+    max over slots, and each slot's u-mask keeps its own exactness.
+
+    Layouts keep the slot axis in the MIDDLE everywhere ([*, T, *]) so no
+    in-kernel relayout is needed:
+      v_ref     [nc, T, G]     slot-transposed activations
+      vs_ref    [P2, T, 128]   probe-sampled activations
+      probes_ref[P2, 1, 128]
+      stats_ref [nc, 1, G]
+      eff_ref   [1, T, 128]    per-slot effort (lane-replicated)
+    """
+    OBv = vscr.shape[3] * (2 if vpacked else 1)
+    tile_rows = TGB * G
+
+    scores = jnp.abs(vs_ref[...] * probes_ref[...])        # [P2, T, 128]
+    kq = jnp.clip(jnp.round(
+        float(P) * eff_ref[...][:, :, :1]), 1.0, float(P))  # [1, T, 1]
+    m = jnp.max(scores, axis=(0, 2), keepdims=True) + 1e-30  # [1, T, 1]
+
+    def first_hit(ts, lo0, hi0):
+        t_lo, t_hi = lo0, hi0
+        done = jnp.zeros_like(m, dtype=jnp.bool_)
+        prev = hi0
+        for t in ts:
+            cnt = jnp.sum((scores > t).astype(jnp.float32), axis=(0, 2),
+                          keepdims=True)                    # [1, T, 1]
+            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
+            t_lo = jnp.where(hit, t, t_lo)
+            t_hi = jnp.where(hit, prev, t_hi)
+            done = jnp.logical_or(done, hit)
+            prev = t
+        return t_lo, t_hi
+
+    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
+    lo, hi = first_hit(lvl1, jnp.zeros_like(m), m)
+    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
+    cutoff, _ = first_hit(lvl2, lo, hi)                     # [1, T, 1]
+
+    sel = stats_ref[...] * jnp.abs(v_ref[...]) > cutoff     # [nc, T, G]
+    u = v_ref[...] * sel.astype(jnp.float32)
+    if has_scales:
+        u = u * scales_ref[...]
+    uscr[...] = u.astype(jnp.bfloat16)
+
+    # streamed prefix = max over slots
+    cnt = jnp.sum(sel.astype(jnp.float32), axis=(0, 2), keepdims=True)
+    cnt_max = jnp.max(cnt)                                  # scalar
+    rows = jnp.minimum(jnp.ceil(cnt_max * alpha), float(in_dim))
+    total = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+    e = e_ref[0]
+    base = e * nc
+
+    def dma(t, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(base + t * TGB, TGB)], vscr.at[slot],
+            vsem.at[slot])
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for s in range(S):
+        @pl.when(s < total)
+        def _(s=s):
+            dma(jnp.int32(s), s).start()
+
+    if vpacked:
+        lane_v = jax.lax.broadcasted_iota(jnp.int32, (G, OBv), 1)
+        shift4 = (lane_v // (OBv // 2)) * 4
+
+    def body(t, _):
+        slot = jax.lax.rem(t, S)
+        dma(t, slot).wait()
+        acc = jnp.zeros_like(out_ref[...])                  # [T, OB]
+        for j in range(TGB):
+            uj = uscr[t * TGB + j]                          # [T, G] bf16
+            if vpacked:
+                pv = pltpu.repeat(vscr[slot][j].astype(jnp.int32), 2,
+                                  axis=1)
+                wj = (((pv >> shift4) & 15) - 8)[:, :OB] \
+                    .astype(jnp.bfloat16)
+            else:
+                wj = vscr[slot][j]                          # [G, OB]
+                if wj.dtype != jnp.bfloat16:
+                    wj = wj.astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                uj, wj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [T, OB]
+        out_ref[...] += acc
+
+        @pl.when(t + S < total)
+        def _():
+            dma(t + S, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
+                           alpha, has_scales):
+    return functools.partial(_kernel_mxu_batch, S, T, TGB, nc, G, vpacked,
+                             OB, in_dim, P, alpha, has_scales)
+
+
+def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
+                     expert=0, alpha: float = 1.3, tile_blocks: int = 1,
+                     slots: int = 3) -> jax.Array:
+    """Batched one-launch row-prefix effort matmul.
+
+    V: [T, in] activations (T decode slots, padded to a multiple of 8);
+    efforts: [T] per-slot TRACED efforts (0 disables a slot).
+    Returns [T, out] f32. The serving batcher's decode step uses this for
+    effort-at-speed continuous batching — a case the reference never
+    faced (SURVEY §7 "Batch > 1").
+    """
+    assert bm.bucket_size == 1
+    G, OB = bm.chunk_rows, bm.n_buckets
+    nc = bm.n_chunks
+    T = V.shape[0]
+    assert T % 8 == 0, T
+    expert = jnp.asarray(expert, jnp.int32).reshape(1)
+    e0 = expert[0]
+    Vp = jax.vmap(lambda v: bm.permute_v(v, e0))(V).astype(jnp.float32)
+    v3d = Vp.T.reshape(nc, G, T).transpose(0, 2, 1)         # [nc, T, G]
+    P = strided_sample_len(bm.in_dim, bm.probes.shape[1])
+    vs = jax.vmap(lambda v: strided_sample(v, bm.in_dim,
+                                           bm.probes.shape[1]))(Vp)
+    vs3d = vs.T.reshape(P // 128, 128, T).transpose(0, 2, 1)  # [P2,T,128]
+    probes3d = bm.probes[e0].astype(jnp.float32).reshape(
+        P // 128, 1, 128)
+    stats3d = bm.stats[e0].T.reshape(nc, 1, G)
+    has_scales = bm.scales is not None
+    scales3d = (bm.scales[e0].T.reshape(nc, 1, G)
+                if has_scales else stats3d)
+    eff3d = jnp.broadcast_to(
+        jnp.asarray(efforts, jnp.float32)[None, :, None], (1, T, 128))
+
+    kernel = _make_kernel_mxu_batch(slots, T, tile_blocks, nc, G,
+                                    bm.vals_packed, OB, bm.in_dim, P,
+                                    float(alpha), has_scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, tile_blocks, G, bm.vals.shape[-1]),
+                       bm.vals.dtype),
+            pltpu.VMEM((nc, T, G), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, OB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(expert, v3d, vs3d, probes3d, stats3d, scales3d, eff3d, bm.vals)
+    return acc
+
+
 def supports_fused(bm: BucketedMatrix) -> bool:
     sample = strided_sample_len(bm.in_dim, bm.probes.shape[1])
     return (bm.in_dim % 128 == 0 and sample % 128 == 0

@@ -257,6 +257,99 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
     return h, k_cache, v_cache, h_layers
 
 
+def _mv_batch(bm, X, efforts, expert, impl):
+    """Batched effort matvec: X [B, in] with per-slot traced efforts.
+
+    On TPU with the row-prefix (bucket_size=1) layout this is ONE batched
+    MXU kernel launch (kernels/fused_stream.mxu_matvec_batch — slots ride
+    the MXU sublane rows); otherwise a vmap of the jnp semantics path.
+    """
+    B = X.shape[0]
+    if impl in ("auto", "pallas") and bm.bucket_size == 1 \
+            and jax.default_backend() == "tpu":
+        from effort_tpu.kernels.fused_stream import (mxu_matvec_batch,
+                                                     supports_fused)
+        if supports_fused(bm):
+            pad = (-B) % 8
+            Xp = jnp.pad(X, ((0, pad), (0, 0)))
+            ep = jnp.pad(jnp.asarray(efforts, jnp.float32), (0, pad))
+            return mxu_matvec_batch(bm, Xp, ep, expert)[:B]
+    impl_tok = "jnp" if impl in ("auto", "pallas", "stream") else impl
+    return jax.vmap(lambda x, e: bucket_matvec_jnp_traced(
+        bm, x, e, expert, impl_tok))(X, jnp.asarray(efforts, jnp.float32))
+
+
+def bucket_matvec_jnp_traced(bm, v, effort, expert, impl):
+    from effort_tpu.ops.bucketmul import bucket_matvec_jnp
+    if impl == "dense":
+        e = jnp.asarray(expert, jnp.int32)
+        return jnp.dot(bm.permute_v(v, e).astype(jnp.bfloat16),
+                       bm.dense[e], preferred_element_type=jnp.float32)
+    return bucket_matvec_jnp(bm, v, effort, expert)
+
+
+def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
+                        k_cache, v_cache, efforts, offs=None,
+                        impl: str = "auto"):
+    """Batched decode step: B slots advance together.
+
+    toks/pos/efforts: [B]; caches [L, B, S, KV, D]; offs [B] left-pad
+    offsets. Per-slot effort is TRACED (one compiled step serves any
+    effort mix; a slot with effort 0 contributes nothing to the weight
+    reads). Returns (logits [B, vocab], k_cache, v_cache).
+    """
+    B = toks.shape[0]
+    KV, D = cfg.n_kv_heads, cfg.head_dim
+    offs = jnp.zeros((B,), jnp.int32) if offs is None else offs
+    efforts = jnp.asarray(efforts, jnp.float32)
+    H = w.tok_embeddings[toks].astype(jnp.float32)          # [B, dim]
+    rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
+
+    def layer_step(carry, l):
+        Hc, k_cache, v_cache = carry
+        layer = w.layers
+        Hn = rms_norm(Hc, layer.attn_norm[l], cfg.norm_eps)
+        Q = _mv_batch(layer.wq, Hn, efforts, l, impl)
+        K = _mv_batch(layer.wk, Hn, efforts, l, impl)
+        V = _mv_batch(layer.wv, Hn, efforts, l, impl)
+        rpos = pos - offs
+        Q = rope(Q.reshape(B, cfg.n_heads, D), rpos, D,
+                 cfg.rope_theta).reshape(B, -1)
+        K = rope(K.reshape(B, KV, D), rpos, D, cfg.rope_theta)
+        kc_l = jax.vmap(lambda c, k, p: jax.lax.dynamic_update_slice(
+            c, k.astype(c.dtype)[None], (p, 0, 0)))(k_cache[l], K, pos)
+        vc_l = jax.vmap(lambda c, v, p: jax.lax.dynamic_update_slice(
+            c, v.reshape(KV, D).astype(c.dtype)[None], (p, 0, 0)))(
+            v_cache[l], V, pos)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kc_l[None], (l, 0, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vc_l[None], (l, 0, 0, 0, 0))
+        attn = jax.vmap(_attention, in_axes=(0, 0, 0, 0, None, 0))(
+            Q, kc_l, vc_l, pos, cfg, offs)
+        Hc = Hc + _mv_batch(layer.wo, attn, efforts, l, impl)
+        Fn = rms_norm(Hc, layer.ffn_norm[l], cfg.norm_eps)
+        if cfg.n_experts == 1:
+            x1 = _mv_batch(layer.w1, Fn, efforts, l, impl)
+            x3 = _mv_batch(layer.w3, Fn, efforts, l, impl)
+            x2 = jax.nn.silu(x1) * x3
+            Hc = Hc + _mv_batch(layer.w2, x2, efforts, l, impl)
+        else:
+            impl_tok = "jnp" if impl in ("auto", "pallas") else impl
+            Hc = Hc + jax.vmap(
+                lambda x, e: _ffn(w.layers, l, x, e, cfg, impl_tok))(
+                    Fn, efforts)
+        return (Hc, k_cache, v_cache), None
+
+    (H, k_cache, v_cache), _ = jax.lax.scan(
+        layer_step, (H, k_cache, v_cache),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+    H = rms_norm(H, w.norm, cfg.norm_eps)
+    logits = jnp.dot(H.astype(jnp.bfloat16), w.output,
+                     preferred_element_type=jnp.float32)
+    return logits, k_cache, v_cache
+
+
 def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
              tp_axis=None):
     """Batched FFN for prefill. Dense models use batched matmuls; MoE

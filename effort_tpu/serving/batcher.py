@@ -92,20 +92,18 @@ class BatchEngine:
     def _step_fn(self):
         key = "step"
         if key not in self._fns:
-            def one(w, tok, pos, off, effort, kc_b, vc_b):
-                logits, kc_b, vc_b = forward_token(
-                    w, self.cfg, tok, pos, kc_b, vc_b, effort=effort,
-                    impl=self.impl, rope_offset=off, mask_from=off)
-                return jnp.argmax(logits).astype(jnp.int32), kc_b, vc_b
+            from effort_tpu.models.transformer import forward_token_batch
 
             def step(w, toks, pos, offs, efforts, k_cache, v_cache):
-                kc = jnp.moveaxis(k_cache, 1, 0)   # [B, L, S, KV, D]
-                vc = jnp.moveaxis(v_cache, 1, 0)
-                preds, kc, vc = jax.vmap(
-                    one, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-                        w, toks, pos, offs, efforts, kc, vc)
-                return preds, jnp.moveaxis(kc, 0, 1), \
-                    jnp.moveaxis(vc, 0, 1)
+                # forward_token_batch routes each projection to ONE
+                # batched MXU kernel launch on TPU (row-prefix layout,
+                # slots on the MXU sublane rows, per-slot traced effort);
+                # elsewhere it vmaps the jnp semantics path.
+                logits, k_cache, v_cache = forward_token_batch(
+                    w, self.cfg, toks, pos, k_cache, v_cache, efforts,
+                    offs=offs, impl=self.impl)
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        k_cache, v_cache)
             self._fns[key] = jax.jit(step)
         return self._fns[key]
 
@@ -147,9 +145,12 @@ class BatchEngine:
         act = self.active()
         if not act:
             return []
+        # inactive slots decode at effort 0: near-zero weight reads
+        act_mask = jnp.asarray([0.0 if s.done else 1.0
+                                for s in self.slots], jnp.float32)
         preds, self.k_cache, self.v_cache = self._step_fn()(
-            self.w, self.tokens, self.pos, self.offs, self.efforts,
-            self.k_cache, self.v_cache)
+            self.w, self.tokens, self.pos, self.offs,
+            self.efforts * act_mask, self.k_cache, self.v_cache)
         preds_host = np.asarray(jax.device_get(preds))
         finished = []
         new_tokens = self.tokens

@@ -45,6 +45,31 @@ def _t(f, args) -> float:
     return time.perf_counter() - t0
 
 
+def fold_bounce(y, v):
+    """Workload-preserving chain bounce that consumes EVERY element of y.
+
+    v' = v * sign(folded y): |v'| == |v| so the next iteration's effort
+    selection (and read volume) is identical, yet v' depends on all of y —
+    a bounce that slices y (e.g. y[:IN]) lets XLA dead-code-eliminate the
+    unused output columns and SLICE THE WEIGHT READS of a dense matmul
+    (measured: a [8,4096]x[4096,14336] chain "ran" at 2.6 TB/s because
+    only 4096 of 14336 columns were live). Pallas kernels are opaque to
+    this, which makes a sliced bounce silently favor the effort kernel.
+
+    y: [..., N_out]; v: [..., N_in]. Returns v'.
+    """
+    import jax.numpy as jnp
+    n_in = v.shape[-1]
+    n_out = y.shape[-1]
+    k = -(-n_out // n_in)
+    pad = k * n_in - n_out
+    if pad:
+        y = jnp.concatenate(
+            [y, jnp.zeros(y.shape[:-1] + (pad,), y.dtype)], axis=-1)
+    folded = y.reshape(y.shape[:-1] + (k, n_in)).sum(axis=-2)
+    return v * jnp.where(folded >= 0, 1.0, -1.0)
+
+
 def fresh_vectors(shape, n, seed0=1234, scale=1.0):
     """n distinct device-resident inputs (generated on device)."""
     import jax.numpy as jnp

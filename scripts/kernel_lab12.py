@@ -64,10 +64,7 @@ def main():
     # |v|, so v' = v * sign(y) keeps the read fraction of every iteration
     # identical to the calibrated operating point while staying
     # data-dependent (nothing can be elided).
-    def bounce(y, v):
-        s = jnp.where(y[:NI] >= 0, 1.0, -1.0) if NO >= NI else \
-            jnp.where(jnp.tile(y, NI // NO + 1)[:NI] >= 0, 1.0, -1.0)
-        return v * s
+    from effort_tpu.utils.timing import fold_bounce as bounce
 
     def mk_dense(n):
         @jax.jit

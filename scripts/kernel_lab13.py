@@ -66,10 +66,7 @@ def main():
               f"cos(mxu@alpha,dense)={ca:.4f}", flush=True)
 
     # speed: workload-preserving sign-flip chain
-    def bounce(y, v):
-        s = jnp.where(y[:NI] >= 0, 1.0, -1.0) if NO >= NI else \
-            jnp.where(jnp.tile(y, NI // NO + 1)[:NI] >= 0, 1.0, -1.0)
-        return v * s
+    from effort_tpu.utils.timing import fold_bounce as bounce
 
     def mk_dense(n):
         @jax.jit

@@ -82,3 +82,36 @@ def test_mixed_effort_batch(model):
     ref_hi = ref_engine.generate([3, 1, 4], n_new=5, effort=1.0).token_ids
     assert results["hi"] == ref_hi
     assert len(results["lo"]) >= 1
+
+
+def test_forward_token_batch_matches_per_slot(model):
+    """Batched decode step == per-slot forward_token (jnp path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from effort_tpu.models.transformer import (forward_token,
+                                               forward_token_batch,
+                                               make_kv_cache)
+    cfg, w = model
+    B = 3
+    L, S, KV, D = cfg.n_layers, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim
+    kb = jnp.zeros((L, B, S, KV, D), jnp.bfloat16)
+    vb = jnp.zeros_like(kb)
+    toks = jnp.asarray([3, 7, 11], jnp.int32)
+    pos = jnp.asarray([0, 2, 1], jnp.int32)
+    offs = jnp.asarray([0, 1, 0], jnp.int32)
+    efforts = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+    lg_b, kb2, vb2 = forward_token_batch(w, cfg, toks, pos, kb, vb,
+                                         efforts, offs=offs, impl="jnp")
+    for s in range(B):
+        kc, vc = make_kv_cache(cfg)
+        lg, kc, vc = forward_token(
+            w, cfg, toks[s], pos[s], kc, vc, effort=float(efforts[s]),
+            impl="jnp", rope_offset=offs[s], mask_from=offs[s])
+        np.testing.assert_allclose(np.asarray(lg_b[s]), np.asarray(lg),
+                                   rtol=2e-4, atol=2e-4)
+        # bf16 cache entries may differ by 1 ulp (different f32
+        # reduction orders before the cast)
+        np.testing.assert_allclose(
+            np.asarray(kb2[:, s]).astype(np.float32),
+            np.asarray(kc).astype(np.float32), atol=0.02)

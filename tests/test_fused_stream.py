@@ -51,3 +51,17 @@ def test_fused_matches_v3_on_tpu():
     y3 = np.asarray(stream_matvec(bm, sel, 8))
     y4 = np.asarray(fused_matvec(bm, v, 0.25, 0, alpha=1.3, tile_blocks=8))
     np.testing.assert_allclose(y3, y4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="manual-DMA kernel is TPU-only")
+def test_mxu_batch_matches_single_on_tpu():
+    import jax.numpy as jnp
+    from effort_tpu.kernels.fused_stream import mxu_matvec, mxu_matvec_batch
+    bm = _bm(4096, 1024, B=1, G=128)
+    V = jax.random.normal(jax.random.key(1), (8, 4096), jnp.float32)
+    effs = jnp.full((8,), 0.25)
+    Yb = np.asarray(mxu_matvec_batch(bm, V, effs, 0, alpha=1e9))
+    for s in (0, 3, 7):
+        y1 = np.asarray(mxu_matvec(bm, V[s], 0.25, 0, alpha=1e9))
+        np.testing.assert_allclose(Yb[s], y1, atol=2e-2, rtol=1e-3)
