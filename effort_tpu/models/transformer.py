@@ -462,16 +462,20 @@ def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
     def mk(n_inst, in_d, out_d, col_scale=None):
         k = next(keys)
 
-        def maker(start, n):
-            ks = jax.random.fold_in(k, start)
+        def gen(ks, n):
             wt = jax.random.normal(ks, (n, in_d, out_d),
                                    jnp.float32) * scale
             if col_scale is not None:
                 wt = wt * col_scale[None, None, :]
             return wt
-        if lazy:
-            return (maker, n_inst, in_d, out_d)
-        return maker(0, n_inst)
+        # lazy only when the full f32 tensor is too big to materialize;
+        # the eager path draws from k directly so the key-draw recipe
+        # stays identical to the parallel weight builders
+        # (parallel/tp.py make_tp_weights "same key-draw order" contract)
+        if lazy and n_inst * in_d * out_d * 4 > 2**31:
+            return (lambda s, n: gen(jax.random.fold_in(k, s), n),
+                    n_inst, in_d, out_d)
+        return gen(k, n_inst)
 
     raw = dict(
         wq=mk(L, dim, q_out),

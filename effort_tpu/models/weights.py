@@ -77,18 +77,36 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     out_dim = OB * B
     assert NB_inst == (in_dim // G) * K_stored
 
-    # truncated loading at load time: keep only the first K ranks
+    # truncated loading at load time
     K = K_stored
     if percent_load is not None and percent_load < 1.0:
-        K = max(1, int(round(percent_load * K_stored)))
-        # rank-major blocks: first K*n_chunks block rows are ranks < K
-        keep = np.zeros((K_stored, in_dim // G), bool)
-        keep[:K, :] = True
-        keep = keep.reshape(-1)
-        vals_l = [v[keep] for v in vals_l]
-        pos_l = [p[keep] for p in pos_l]
-        stats = stats[:, :, :K]
-        scales_l = [s[:, :K] for s in scales_l]
+        if B == 1:
+            # row-prefix layout: drop the TRAILING (least-important,
+            # calibration-sorted) row chunks — the input-dim analog of
+            # the reference's percentLoad bucket-row truncation
+            nc_keep = max(1, int(round(percent_load * (in_dim // G))))
+            keep = np.zeros((K_stored, in_dim // G), bool)
+            keep[:, :nc_keep] = True
+            keep = keep.reshape(-1)
+            vals_l = [v[keep] for v in vals_l]
+            pos_l = [p[keep] for p in pos_l]
+            stride = in_dim // probes_l[0].shape[0]
+            in_dim = nc_keep * G
+            stats = stats[:, :in_dim]
+            scales_l = [s[:in_dim] for s in scales_l]
+            # probes are an ascending strided dim sample: keep the prefix
+            # that falls inside the kept rows
+            probes_l = [p[:in_dim // stride] for p in probes_l]
+        else:
+            # keep only the first K ranks (rank-major block order)
+            K = max(1, int(round(percent_load * K_stored)))
+            keep = np.zeros((K_stored, in_dim // G), bool)
+            keep[:K, :] = True
+            keep = keep.reshape(-1)
+            vals_l = [v[keep] for v in vals_l]
+            pos_l = [p[keep] for p in pos_l]
+            stats = stats[:, :, :K]
+            scales_l = [s[:, :K] for s in scales_l]
 
     vals = jnp.concatenate(vals_l)                 # [E*NB, G, OB]
     pos = jnp.concatenate(pos_l)

@@ -64,7 +64,9 @@ def pick_chunk_rows(cfg: BucketConfig, in_dim: int, out_dim: int) -> int:
     item = {"bf16": 2, "int8": 1, "int4": 0.5}[cfg.dtype]
     G = cfg.chunk_rows
     for cand in (1024, 512, 256, 128):
-        if in_dim % cand == 0 and cand * out_dim * item <= 3 * 2**20:
+        # >=4 chunks so the stream prefix has granularity to truncate
+        if (in_dim % cand == 0 and cand * 4 <= in_dim
+                and cand * out_dim * item <= 3 * 2**20):
             return max(G, cand)
     return G
 

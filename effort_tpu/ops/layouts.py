@@ -109,9 +109,14 @@ class BucketedMatrix:
         return self.n_experts * self.blocks_per_expert
 
     def permute_v(self, v: jax.Array, expert) -> jax.Array:
-        """Apply the calibrated input permutation (fast row-gather)."""
+        """Apply the calibrated input permutation (fast row-gather).
+
+        Under truncated loading of a BAKED (importance-sorted) layout,
+        in_dim < len(v): the dropped tail is the least-important rows, so
+        the matvec simply ignores them (the reference's percentLoad
+        semantics, loader.swift:50,70,124)."""
         if self.seg_order is None:
-            return v
+            return v[:self.in_dim] if v.shape[0] > self.in_dim else v
         seg = self.perm_segment
         return v.reshape(-1, seg)[self.seg_order[expert]].reshape(-1)
 

@@ -154,3 +154,30 @@ def test_collect_act_rms(rng):
     assert out["rms_f"].shape == (cfg.hidden_dim,)
     assert bool(jnp.isfinite(out["rms_m"]).all())
     assert float(out["rms_m"].min()) >= 0
+
+
+def test_truncated_load_b1_rows(tmp_path, rng):
+    """B=1 percent_load drops trailing (least-important) row chunks."""
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=8)
+    src, dst = tmp_path / "hf", tmp_path / "b1t"
+    _write_hf_ckpt(src, cfg, rng)
+    calib = {"rms_m": np.exp(rng.normal(0, 1.2, cfg.dim)),
+             "rms_f": np.exp(rng.normal(0, 1.2, cfg.hidden_dim))}
+    convert_checkpoint(str(src), str(dst), cfg, bcfg, calib=calib,
+                       progress=lambda *_: None)
+    w_full, *_ = load_bucketized(str(dst))
+    w_half, *_ = load_bucketized(str(dst), percent_load=0.5)
+    assert w_half.layers.w1.in_dim == cfg.dim // 2
+    assert w_half.layers.w1.vals.shape[0] < w_full.layers.w1.vals.shape[0]
+    k, v = make_kv_cache(cfg)
+    lg_h, _, _ = forward_token(w_half, cfg, jnp.asarray(3), jnp.asarray(0),
+                               k, v, effort=1.0, impl="jnp")
+    k, v = make_kv_cache(cfg)
+    lg_f, _, _ = forward_token(w_full, cfg, jnp.asarray(3), jnp.asarray(0),
+                               k, v, effort=1.0, impl="jnp")
+    a, b = np.asarray(lg_h), np.asarray(lg_f)
+    assert np.isfinite(a).all()
+    # half the (importance-sorted) rows retain most of the output
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+    assert cos > 0.7, cos
