@@ -52,7 +52,8 @@ def main(argv=None):
     p.add_argument("--src", help="HF checkpoint dir (convert)")
     p.add_argument("--dst", help="output dir (convert)")
     p.add_argument("--model", default="mistral-7b",
-                   choices=["mistral-7b", "mixtral-8x7b", "tiny"])
+                   choices=["mistral-7b", "mixtral-8x7b", "llama2-7b",
+                            "tiny"])
     p.add_argument("--synthetic", nargs="?", const="tiny",
                    choices=["tiny", "mistral-7b"],
                    help="use random weights (tiny|mistral-7b)")
@@ -78,11 +79,12 @@ def main(argv=None):
                  "quickstart": "generate"}.get(args.mode, args.mode)
 
     if args.mode == "convert":
-        from effort_tpu.config import (BucketConfig, mistral_7b,
+        from effort_tpu.config import (BucketConfig, llama2_7b, mistral_7b,
                                        mixtral_8x7b)
         from effort_tpu.convert.convert import convert_checkpoint
         cfg = {"mistral-7b": mistral_7b(),
-               "mixtral-8x7b": mixtral_8x7b()}[args.model]
+               "mixtral-8x7b": mixtral_8x7b(),
+               "llama2-7b": llama2_7b()}[args.model]
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
         convert_checkpoint(args.src, args.dst, cfg, bcfg, calib=args.calib)

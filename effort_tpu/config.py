@@ -101,6 +101,17 @@ def mistral_7b(**kw) -> ModelConfig:
     return dataclasses.replace(ModelConfig(name="mistral-7b"), **kw)
 
 
+def llama2_7b(**kw) -> ModelConfig:
+    """Llama-2-7B: same decoder architecture as Mistral-7B with MHA
+    (32 KV heads), 11008 FFN hidden, 4096 ctx, theta 1e4. The converter's
+    mistral name map applies unchanged (HF uses identical tensor names)."""
+    return dataclasses.replace(
+        ModelConfig(name="llama2-7b", hidden_dim=11008, n_kv_heads=32,
+                    rope_theta=1e4, max_seq_len=4096, vocab_size=32000),
+        **kw,
+    )
+
+
 def mixtral_8x7b(**kw) -> ModelConfig:
     return dataclasses.replace(
         ModelConfig(name="mixtral-8x7b", n_experts=8, n_experts_per_tok=2,

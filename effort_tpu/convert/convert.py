@@ -42,6 +42,8 @@ HF_NAME_MAPS = {
         "embed": "model.embed_tokens.weight",
         "lm_head": "lm_head.weight",
     },
+    # Llama-2/3 use the same HF tensor names as Mistral
+    "llama": None,   # alias, resolved below
     "mixtral": {
         "wq": "model.layers.{l}.self_attn.q_proj.weight",
         "wk": "model.layers.{l}.self_attn.k_proj.weight",
@@ -123,6 +125,8 @@ def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
     """
     import numpy as _np
     family = family or ("mixtral" if cfg.is_moe else "mistral")
+    if family == "llama":
+        family = "mistral"          # identical HF tensor names
     names = HF_NAME_MAPS[family]
     src = MultiShardReader(src_dir)
     model_tag = f"buckets-{bcfg.dtype.upper()}"

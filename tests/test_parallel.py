@@ -84,3 +84,28 @@ def test_tp_effort_sweep_quality(setup):
     a, b = np.asarray(ref), np.asarray(logits_tp)
     cs = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cs > 0.95, cs  # per-shard cutoffs differ slightly from global
+
+
+def test_tp_row_prefix_layout():
+    """TP sharding works with the bucket_size=1 (row-prefix MXU) layout."""
+    cfg = tiny_test_model()
+    n_tp = 2
+    bcfg1 = BucketConfig(bucket_size=1, chunk_rows=8)
+    w_tp, cfg_l = make_tp_weights(cfg, bcfg1, n_tp, seed=0)
+    mesh = make_mesh(1, n_tp)
+    kv = jnp.zeros((cfg.n_layers, cfg.max_seq_len, cfg.n_kv_heads,
+                    cfg.head_dim), jnp.bfloat16)
+
+    def step(w_local, tok, pos, kc, vc):
+        return tp_forward_token(w_local, cfg_l, tok, pos, kc, vc,
+                                effort=0.5, impl="jnp")
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(tp_specs(w_tp), P(), P(), P(None, None, "tp", None),
+                  P(None, None, "tp", None)),
+        out_specs=(P(), P(None, None, "tp", None),
+                   P(None, None, "tp", None)))
+    logits, _, _ = jax.jit(fn)(w_tp, jnp.asarray(3), jnp.asarray(0), kv, kv)
+    assert logits.shape == (cfg.vocab_size,)
+    assert bool(jnp.isfinite(logits).all())
