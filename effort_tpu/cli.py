@@ -39,7 +39,11 @@ def _build_engine(args):
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
         w = init_random_weights(cfg, bcfg, keep_dense=args.keep_dense)
-    return Engine(w, cfg, tokenizer=tok, impl=args.impl), cfg
+    # row-prefix layout: effort is a traced scalar — the REPL's effort
+    # knob moves without recompiling (reference contract)
+    dyn = w.layers.w1.bucket_size == 1
+    return Engine(w, cfg, tokenizer=tok, impl=args.impl,
+                  dynamic_effort=dyn), cfg
 
 
 def main(argv=None):

@@ -187,8 +187,8 @@ def _make_kernel(S, B, K, TGB, nc, G, bits, vpacked, OB, in_dim, P,
 
 
 def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
-                effort, alpha, has_scales,
-                e_ref,
+                alpha, has_scales,
+                e_ref, eq_ref,
                 v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
                 vals_hbm,
                 out_ref, vscr, uscr, vsem):
@@ -202,7 +202,11 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
     tile_rows = TGB * G
 
     scores = jnp.abs(vs_ref[...] * probes_ref[...])
-    kq = float(min(max(round(P * effort), 1), P))
+    # effort arrives as 16.16 fixed-point in SMEM (traced: no recompile
+    # when the effort knob moves — the reference's runtime-effort
+    # contract, main.swift:110-135 REPL)
+    eff = eq_ref[0].astype(jnp.float32) * (1.0 / 65536.0)
+    kq = jnp.clip(jnp.round(float(P) * eff), 1.0, float(P))
     m = jnp.max(scores) + 1e-30
 
     def first_hit(ts, lo0, hi0):
@@ -286,9 +290,9 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
 
 @functools.lru_cache(maxsize=None)
 def _make_kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
-                     effort, alpha, has_scales):
+                     alpha, has_scales):
     return functools.partial(_kernel_mxu, S, TGB, nc, G, vpacked, OB,
-                             in_dim, P, effort, alpha, has_scales)
+                             in_dim, P, alpha, has_scales)
 
 
 def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
@@ -472,10 +476,14 @@ def strided_sample_len(in_dim: int, n_probes: int) -> int:
     return in_dim // stride
 
 
-def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
+def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
                expert=0, alpha: float = 1.3, tile_blocks: int = 1,
                slots: int = 3) -> jax.Array:
-    """One-launch row-prefix effort matvec (bucket_size=1 layout)."""
+    """One-launch row-prefix effort matvec (bucket_size=1 layout).
+
+    effort may be a python float OR a traced scalar — it rides into the
+    kernel as a 16.16 fixed-point SMEM scalar, so moving the effort knob
+    never recompiles."""
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -493,11 +501,13 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
     scales_t = (bm.scales[e0].T.reshape(1, nc, G)
                 if has_scales else stats_t)
 
+    eff_q = jnp.round(jnp.asarray(effort, jnp.float32) * 65536.0) \
+        .astype(jnp.int32).reshape(1)
     kernel = _make_kernel_mxu(slots, tile_blocks, nc, G, bm.vals_packed,
-                              OB, bm.in_dim, P, float(effort),
+                              OB, bm.in_dim, P,
                               float(alpha), has_scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),     # v2
@@ -520,7 +530,7 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(expert, v2, vs2, probes2, stats_t, scales_t, bm.vals)
+    )(expert, eff_q, v2, vs2, probes2, stats_t, scales_t, bm.vals)
     return acc.reshape(OB)
 
 

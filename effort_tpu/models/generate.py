@@ -160,7 +160,14 @@ class Engine:
     def __init__(self, weights: ModelWeights, cfg: ModelConfig,
                  tokenizer=None, impl: str = "auto", eos_id: int = 2,
                  pad_to: int = 32, prefill: bool = False,
-                 prefill_impl: str = "auto"):
+                 prefill_impl: str = "auto",
+                 dynamic_effort: bool = False):
+        """dynamic_effort=True traces effort as a runtime argument: ONE
+        compiled executable serves every effort value (the reference's
+        instant effort knob, main.swift:110-135). Requires a layout whose
+        kernels take traced effort — bucket_size=1 on TPU, or the jnp
+        path anywhere; not available with prefill (batched prefill
+        resolves its MXU path from a static effort)."""
         self.w = weights
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -169,16 +176,28 @@ class Engine:
         self.pad_to = pad_to
         self.prefill = prefill
         self.prefill_impl = prefill_impl
+        self.dynamic_effort = dynamic_effort
+        assert not (dynamic_effort and prefill), \
+            "dynamic_effort works with the decode-scan engine"
         self._fns = {}
 
+    def _eff(self, effort: float):
+        return (jnp.asarray(effort, jnp.float32) if self.dynamic_effort
+                else effort)
+
     def _fn(self, P: int, n_new: int, effort: float):
-        key = (P, n_new, effort, self.prefill)
+        eff_key = "dyn" if self.dynamic_effort else effort
+        key = (P, n_new, eff_key, self.prefill)
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
                     _prefill_decode_scan, cfg=self.cfg, n_new=n_new,
                     effort=effort, impl=self.impl, eos_id=self.eos_id,
                     prefill_impl=self.prefill_impl))
+            elif self.dynamic_effort:
+                self._fns[key] = jax.jit(partial(
+                    _decode_scan, cfg=self.cfg, n_new=n_new,
+                    impl=self.impl, eos_id=self.eos_id))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
@@ -192,14 +211,15 @@ class Engine:
         assert P + n_new <= self.cfg.max_seq_len, "sequence too long"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._fn(P, n_new, effort)
+        kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
         args = (jnp.asarray(padded, jnp.int32),
                 jnp.asarray(len(prompt_ids), jnp.int32))
         t0 = time.perf_counter()
-        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1])
+        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1], **kw)
         out[0].block_until_ready()
         t_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1])
+        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1], **kw)
         a, b = (jax.device_get(out[0]), jax.device_get(out[1]))
         dt = time.perf_counter() - t0
 
@@ -226,12 +246,16 @@ class Engine:
         )
 
     def _logits_fn(self, P: int, effort: float):
-        key = ("logits", P, effort, self.prefill)
+        eff_key = "dyn" if self.dynamic_effort else effort
+        key = ("logits", P, eff_key, self.prefill)
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
                     _prompt_logits_prefill, cfg=self.cfg, effort=effort,
                     impl=self.prefill_impl))
+            elif self.dynamic_effort:
+                self._fns[key] = jax.jit(partial(
+                    _prompt_logits_scan, cfg=self.cfg, impl=self.impl))
             else:
                 self._fns[key] = jax.jit(partial(
                     _prompt_logits_scan, cfg=self.cfg, effort=effort,
@@ -244,10 +268,11 @@ class Engine:
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._logits_fn(P, effort)
+        kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
         logits, preds = fn(self.w,
                            prompt_ids=jnp.asarray(padded, jnp.int32),
                            prompt_len=jnp.asarray(len(prompt_ids),
-                                                  jnp.int32))
+                                                  jnp.int32), **kw)
         preds = jax.device_get(preds)
         if self.prefill:  # left-pad layout: real positions at the tail
             preds = preds[P - len(prompt_ids):]

@@ -96,19 +96,25 @@ def _tile_blocks(bm: BucketedMatrix) -> int:
     return 1
 
 
-def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
+def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort,
                   expert=0, impl: str = "auto",
                   block_budget: Optional[float] = None,
                   alpha: Optional[float] = None) -> jax.Array:
-    """Effort-truncated matvec. `effort` must be a static python float here
-    (the pallas path sizes its dispatch capacity from it); use
-    bucket_matvec_jnp directly for traced-effort experiments.
+    """Effort-truncated matvec.
+
+    `effort` may be a python float (any layout/impl) or a TRACED scalar —
+    traced effort runs without recompilation on the row-prefix MXU kernel
+    (bucket_size=1; the effort rides into the kernel as an SMEM scalar)
+    and on the jnp path; the rank-prefix pallas kernel sizes its static
+    prologue from effort and needs it static.
     """
+    static_eff = isinstance(effort, (int, float))
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if effort >= 0.999 and bm.dense is not None:
+        if static_eff and effort >= 0.999 and bm.dense is not None:
             impl = "dense"
-        elif on_tpu and supports_pallas(bm):
+        elif on_tpu and supports_pallas(bm) \
+                and (static_eff or bm.bucket_size == 1):
             impl = "pallas"
         else:
             impl = "jnp"
@@ -127,7 +133,8 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
             alpha = alpha if alpha is not None else 1.4
             tgb = _tile_blocks(bm)
             if impl == "pallas" and supports_fused(bm):
-                y = fused_matvec(bm, v, float(effort), expert,
+                eff = effort if bm.bucket_size == 1 else float(effort)
+                y = fused_matvec(bm, v, eff, expert,
                                  alpha=alpha, tile_blocks=tgb)
             else:
                 from effort_tpu.kernels.prefix_stream import (

