@@ -472,7 +472,7 @@ def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
         # the eager path draws from k directly so the key-draw recipe
         # stays identical to the parallel weight builders
         # (parallel/tp.py make_tp_weights "same key-draw order" contract)
-        if lazy and n_inst * in_d * out_d * 4 > 2**31:
+        if lazy and n_inst * in_d * out_d * 4 > 2**29:
             return (lambda s, n: gen(jax.random.fold_in(k, s), n),
                     n_inst, in_d, out_d)
         return gen(k, n_inst)
@@ -598,8 +598,10 @@ def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
         rms_m = jnp.exp(jax.random.normal(k1, (cfg.dim,)) * rms_sigma)
         rms_f = jnp.exp(jax.random.normal(k2, (cfg.hidden_dim,))
                         * rms_sigma)
+    # lazy generation kicks in per matrix above the size threshold; small
+    # (test-scale) matrices keep the eager key-draw recipe the parallel
+    # weight builders replicate
     raw = synth_raw_weights(cfg, seed=seed, scale=scale, rms_m=rms_m,
-                            rms_f=rms_f,
-                            lazy=cfg.n_layers * cfg.n_experts > 8)
+                            rms_f=rms_f, lazy=True)
     return assemble_weights(raw, cfg, bcfg, keep_dense=keep_dense,
                             rms_m=rms_m, rms_f=rms_f)
