@@ -128,10 +128,56 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     )
 
 
+def model_weight_bytes(cfg: ModelConfig, bcfg: BucketConfig,
+                       percent_load: float = 1.0) -> int:
+    """Estimated device bytes for a loaded model (weights only)."""
+    # per-element upper bounds: vals + packed positions (+ int4's fp32
+    # outlier table); per-row stats/scales/probes are negligible
+    item = {"bf16": 2.25, "int8": 1.25, "int4": 1.0}[bcfg.dtype]
+    L, E, dim, hid = cfg.n_layers, cfg.n_experts, cfg.dim, cfg.hidden_dim
+    q_out = cfg.n_heads * cfg.head_dim
+    kv_out = cfg.n_kv_heads * cfg.head_dim
+    params = L * (dim * (q_out + 2 * kv_out) + q_out * dim
+                  + E * 3 * dim * hid)
+    return int(params * item * percent_load
+               + 2 * 2 * cfg.vocab_size * dim)        # embeddings + head
+
+
+def auto_percent_load(cfg: ModelConfig, bcfg: BucketConfig,
+                      hbm_budget_bytes: Optional[int] = None,
+                      reserve_frac: float = 0.25) -> float:
+    """TPU analog of the reference's autoAdjustPercent (loader.swift:
+    316-339): pick the largest percent_load whose weights fit the HBM
+    budget, leaving reserve_frac for KV cache + activations + compiler
+    temps. The reference degrades to 11/16 on <=16 GB hosts; here the
+    budget is the chip's actual HBM (or an explicit byte budget)."""
+    if hbm_budget_bytes is None:
+        import jax
+        try:
+            hbm_budget_bytes = jax.devices()[0].memory_stats()[
+                "bytes_limit"]
+        except Exception:
+            hbm_budget_bytes = 16 * 2**30
+    budget = int(hbm_budget_bytes * (1.0 - reserve_frac))
+    # percent_load granularity mirrors the reference's 16ths
+    for i in range(16, 0, -1):
+        pl = i / 16.0
+        if model_weight_bytes(cfg, bcfg, pl) <= budget:
+            return pl
+    return 1.0 / 16.0
+
+
 def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
-                    model: Optional[str] = None) -> tuple:
-    """Returns (ModelWeights, ModelConfig, BucketConfig)."""
+                    model: Optional[str] = None,
+                    auto_adjust: bool = False) -> tuple:
+    """Returns (ModelWeights, ModelConfig, BucketConfig).
+
+    auto_adjust=True (and no explicit percent_load): degrade
+    percent_load so the weights fit the device HBM, like the reference's
+    autoAdjustPercent RAM probe."""
     cfg, bcfg = load_config(ckpt_dir)
+    if auto_adjust and percent_load is None:
+        percent_load = auto_percent_load(cfg, bcfg)
     r = MultiShardReader(ckpt_dir, model)
     L, E = cfg.n_layers, cfg.n_experts
 

@@ -181,3 +181,21 @@ def test_truncated_load_b1_rows(tmp_path, rng):
     # half the (importance-sorted) rows retain most of the output
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
     assert cos > 0.7, cos
+
+
+def test_auto_percent_load():
+    from effort_tpu.config import mistral_7b
+    from effort_tpu.models.weights import (auto_percent_load,
+                                           model_weight_bytes)
+    cfg = mistral_7b()
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=16, dtype="bf16")
+    # bf16 7B doesn't fully fit a 16 GB chip with 25% reserve -> degrade
+    pl = auto_percent_load(cfg, bcfg, hbm_budget_bytes=16 * 2**30)
+    assert pl < 1.0
+    assert model_weight_bytes(cfg, bcfg, pl) <= 12 * 2**30
+    # int8 fits whole
+    b8 = BucketConfig(bucket_size=4, chunk_rows=16, dtype="int8")
+    assert auto_percent_load(cfg, b8, hbm_budget_bytes=16 * 2**30) == 1.0
+    # huge budget -> full load
+    assert auto_percent_load(cfg, bcfg,
+                             hbm_budget_bytes=64 * 2**30) == 1.0
