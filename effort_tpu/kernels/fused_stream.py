@@ -408,7 +408,7 @@ def _make_kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
 
 def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
                      expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-                     slots: int = 3) -> jax.Array:
+                     slots: int = 0) -> jax.Array:
     """Batched one-launch row-prefix effort matmul.
 
     V: [T, in] activations (T decode slots, padded to a multiple of 8);
@@ -422,6 +422,7 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
     nc = bm.n_chunks
     T = V.shape[0]
     assert T % 8 == 0, T
+    slots = slots or _auto_slots(bm, tile_blocks)
     expert = jnp.asarray(expert, jnp.int32).reshape(1)
     e0 = expert[0]
     Vp = jax.vmap(lambda v: bm.permute_v(v, e0))(V).astype(jnp.float32)
@@ -476,18 +477,28 @@ def strided_sample_len(in_dim: int, n_probes: int) -> int:
     return in_dim // stride
 
 
+def _auto_slots(bm: BucketedMatrix, tile_blocks: int) -> int:
+    """DMA-ring depth from the VMEM budget: deeper rings hide HBM
+    latency (measured on w1 tiles: 3 slots 58.6us -> 4 slots 44.7us);
+    ~14.5 MB of VMEM is safely spendable on the ring."""
+    tile_bytes = (tile_blocks * bm.chunk_rows * bm.vals.shape[-1]
+                  * bm.vals.dtype.itemsize)
+    return max(2, min(6, int(14.8 * 2**20) // max(tile_bytes, 1)))
+
+
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
                expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-               slots: int = 3) -> jax.Array:
+               slots: int = 0) -> jax.Array:
     """One-launch row-prefix effort matvec (bucket_size=1 layout).
 
     effort may be a python float OR a traced scalar — it rides into the
     kernel as a 16.16 fixed-point SMEM scalar, so moving the effort knob
-    never recompiles."""
+    never recompiles. slots=0 sizes the DMA ring from the VMEM budget."""
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
     assert nc % tile_blocks == 0, (nc, tile_blocks)
+    slots = slots or _auto_slots(bm, tile_blocks)
     expert = jnp.asarray(expert, jnp.int32).reshape(1)
     e0 = expert[0]
     vp = bm.permute_v(v, e0).astype(jnp.float32)
