@@ -483,7 +483,9 @@ def _auto_slots(bm: BucketedMatrix, tile_blocks: int) -> int:
     ~14.5 MB of VMEM is safely spendable on the ring."""
     tile_bytes = (tile_blocks * bm.chunk_rows * bm.vals.shape[-1]
                   * bm.vals.dtype.itemsize)
-    return max(2, min(6, int(14.8 * 2**20) // max(tile_bytes, 1)))
+    # cap at 4: measured win is 3->4 on big tiles; deeper rings showed
+    # RESOURCE_EXHAUSTED at full model depth
+    return max(2, min(4, int(14.8 * 2**20) // max(tile_bytes, 1)))
 
 
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,

@@ -1,0 +1,171 @@
+"""Stateful chat sessions: KV cache persists across turns and across
+process restarts.
+
+The reference has no session concept — every query re-runs the whole
+prompt (its KV cache is a global buffer reset per runNetwork call) and
+its checkpoint story is weights-only (SURVEY §5 "No KV-cache/session
+persistence"). Here a ChatSession keeps the cache between turns (no
+re-prefill of the conversation so far) and can be saved to / loaded from
+a safetensors file, so long conversations survive restarts.
+
+Variable-length turns under jit: prompts are right-padded to a bucket
+size, and each scan step advances the cache position ONLY for valid
+tokens — a pad token runs at the same slot as the next real token, whose
+cache write then overwrites the pad's; pad outputs are discarded. This
+keeps one compiled executable per (bucket, n_new, effort) instead of one
+per prompt length.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effort_tpu.config import ModelConfig
+from effort_tpu.models.transformer import (ModelWeights, forward_token,
+                                           make_kv_cache)
+
+
+def _consume_scan(w: ModelWeights, cfg: ModelConfig, ids, valid, pos0,
+                  k_cache, v_cache, effort: float, impl: str):
+    """Feed ids[i] where valid[i], starting at cache slot pos0.
+    Returns (last_logits, new_pos, k_cache, v_cache)."""
+    offs = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+
+    def step(carry, i):
+        k_cache, v_cache, last = carry
+        pos = pos0 + offs[i]
+        logits, k_cache, v_cache = forward_token(
+            w, cfg, ids[i], pos, k_cache, v_cache, effort=effort,
+            impl=impl)
+        last = jnp.where(valid[i], logits, last)
+        return (k_cache, v_cache, last), None
+
+    init = (k_cache, v_cache, jnp.zeros((cfg.vocab_size,), jnp.float32))
+    (k_cache, v_cache, last), _ = jax.lax.scan(
+        step, init, jnp.arange(ids.shape[0], dtype=jnp.int32))
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return last, pos0 + n_valid, k_cache, v_cache
+
+
+def _gen_scan(w: ModelWeights, cfg: ModelConfig, tok0, pos0, k_cache,
+              v_cache, n_new: int, effort: float, impl: str, eos_id: int):
+    def step(carry, i):
+        tok, pos, k_cache, v_cache, done = carry
+        logits, k_cache, v_cache = forward_token(
+            w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl)
+        pred = jnp.argmax(logits).astype(jnp.int32)
+        done = done | (tok == eos_id)
+        return (pred, pos + 1, k_cache, v_cache, done), tok
+
+    (_, pos, k_cache, v_cache, _), toks = jax.lax.scan(
+        step, (tok0, pos0, k_cache, v_cache, jnp.asarray(False)),
+        jnp.arange(n_new, dtype=jnp.int32))
+    return toks, pos, k_cache, v_cache
+
+
+class ChatSession:
+    """Multi-turn generation with a persistent KV cache."""
+
+    def __init__(self, weights: ModelWeights, cfg: ModelConfig,
+                 impl: str = "auto", eos_id: int = 2, pad_to: int = 32,
+                 tokenizer=None):
+        self.w = weights
+        self.cfg = cfg
+        self.impl = impl
+        self.eos_id = eos_id
+        self.pad_to = pad_to
+        self.tokenizer = tokenizer
+        self.k_cache, self.v_cache = make_kv_cache(cfg)
+        self.pos = 0
+        self.history: List[int] = []
+        self._fns = {}
+
+    def _consume_fn(self, P: int, effort: float):
+        key = ("c", P, effort)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(partial(
+                _consume_scan, cfg=self.cfg, effort=effort,
+                impl=self.impl))
+        return self._fns[key]
+
+    def _gen_fn(self, n_new: int, effort: float):
+        key = ("g", n_new, effort)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(partial(
+                _gen_scan, cfg=self.cfg, n_new=n_new, effort=effort,
+                impl=self.impl, eos_id=self.eos_id))
+        return self._fns[key]
+
+    def turn(self, prompt_ids: Sequence[int], n_new: int = 30,
+             effort: float = 1.0) -> List[int]:
+        """Feed one user turn, generate up to n_new tokens. Only the NEW
+        tokens are processed — the conversation so far lives in the
+        cache."""
+        ids = list(prompt_ids)
+        P = max(self.pad_to, -(-len(ids) // self.pad_to) * self.pad_to)
+        assert self.pos + P + n_new <= self.cfg.max_seq_len, \
+            "session exceeds max_seq_len"
+        padded = ids + [0] * (P - len(ids))
+        valid = [1] * len(ids) + [0] * (P - len(ids))
+        last, pos, self.k_cache, self.v_cache = self._consume_fn(
+            P, effort)(self.w, ids=jnp.asarray(padded, jnp.int32),
+                       valid=jnp.asarray(valid, jnp.bool_),
+                       pos0=jnp.asarray(self.pos, jnp.int32),
+                       k_cache=self.k_cache, v_cache=self.v_cache)
+        first = jnp.argmax(last).astype(jnp.int32)
+        toks, pos, self.k_cache, self.v_cache = self._gen_fn(
+            n_new, effort)(self.w, tok0=first, pos0=pos,
+                           k_cache=self.k_cache, v_cache=self.v_cache)
+        self.pos = int(pos)
+        out = [int(t) for t in jax.device_get(toks)]
+        if self.eos_id in out:
+            out = out[:out.index(self.eos_id) + 1]
+        self.history.extend(ids + out)
+        return out
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> None:
+        """Persist the session (KV cache + position + history) so a long
+        conversation resumes without re-prefill."""
+        from effort_tpu.runtime.safetensors_io import SafeTensorWriter
+        os.makedirs(path, exist_ok=True)
+        wmeta = {"pos": self.pos, "history": self.history,
+                 "model": self.cfg.name}
+        with open(os.path.join(path, "session.json"), "w") as f:
+            json.dump(wmeta, f)
+        wr = SafeTensorWriter(path, "session")
+        kc = np.asarray(self.k_cache[:, :self.pos + 1]
+                        if self.pos else self.k_cache[:, :1])
+        vc = np.asarray(self.v_cache[:, :self.pos + 1]
+                        if self.pos else self.v_cache[:, :1])
+        wr.add("k_cache", kc.view(np.uint16), bf16_bits=True)
+        wr.add("v_cache", vc.view(np.uint16), bf16_bits=True)
+        wr.save()
+
+    @classmethod
+    def load(cls, path: str, weights: ModelWeights, cfg: ModelConfig,
+             **kw) -> "ChatSession":
+        from effort_tpu.runtime.safetensors_io import MultiShardReader
+        self = cls(weights, cfg, **kw)
+        with open(os.path.join(path, "session.json")) as f:
+            meta = json.load(f)
+        rd = MultiShardReader(path, "session")
+        kc = np.array(rd["k_cache"], copy=True).view(np.uint16)
+        vc = np.array(rd["v_cache"], copy=True).view(np.uint16)
+        rd.close()
+        T = kc.shape[1]
+        kcj = jnp.asarray(kc).view(jnp.bfloat16)
+        vcj = jnp.asarray(vc).view(jnp.bfloat16)
+        self.k_cache = self.k_cache.at[:, :T].set(kcj)
+        self.v_cache = self.v_cache.at[:, :T].set(vcj)
+        self.pos = int(meta["pos"])
+        self.history = list(meta["history"])
+        return self

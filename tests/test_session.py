@@ -1,0 +1,52 @@
+"""ChatSession: pad-invariance, multi-turn continuity, save/resume."""
+
+import numpy as np
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.models.transformer import init_random_weights
+from effort_tpu.models.session import ChatSession
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_model(max_seq_len=96)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8),
+                            seed=0)
+    return cfg, w
+
+
+def test_pad_invariance(model):
+    """Outputs must not depend on the prompt padding bucket."""
+    cfg, w = model
+    outs = []
+    for pad_to in (4, 16):
+        s = ChatSession(w, cfg, impl="jnp", pad_to=pad_to)
+        outs.append(s.turn([1, 5, 9], n_new=5, effort=0.6))
+    assert outs[0] == outs[1], outs
+
+
+def test_multi_turn_positions(model):
+    """Turn 2 continues from the cache; positions advance correctly."""
+    cfg, w = model
+    s = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    out1 = s.turn([1, 5, 9], n_new=4, effort=1.0)
+    p_after_1 = s.pos
+    assert p_after_1 == 3 + 4
+    out2 = s.turn([7, 2], n_new=4, effort=1.0)
+    assert s.pos == p_after_1 + 2 + 4
+    assert len(out2) <= 4
+
+
+def test_save_resume(tmp_path, model):
+    cfg, w = model
+    s = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    s.turn([1, 5, 9], n_new=4, effort=1.0)
+    s.save(str(tmp_path / "sess"))
+
+    s2 = ChatSession.load(str(tmp_path / "sess"), w, cfg, impl="jnp",
+                          pad_to=4)
+    assert s2.pos == s.pos
+    a = s.turn([7, 2], n_new=4, effort=1.0)
+    b = s2.turn([7, 2], n_new=4, effort=1.0)
+    assert a == b
