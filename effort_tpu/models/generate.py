@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import json
 import mmap
 import os
 import struct
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
