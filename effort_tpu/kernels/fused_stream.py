@@ -485,7 +485,7 @@ def _auto_slots(bm: BucketedMatrix, tile_blocks: int) -> int:
                   * bm.vals.dtype.itemsize)
     # cap at 4: measured win is 3->4 on big tiles; deeper rings showed
     # RESOURCE_EXHAUSTED at full model depth
-    return max(2, min(4, int(14.8 * 2**20) // max(tile_bytes, 1)))
+    return max(2, min(3, int(14.8 * 2**20) // max(tile_bytes, 1)))
 
 
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
