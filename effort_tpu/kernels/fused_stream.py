@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,6 +41,52 @@ from effort_tpu.ops.layouts import BucketedMatrix, strided_sample
 
 _NL = 32          # thresholds per cutoff-search level (matches compute_cutoff)
 _RATIO = 0.62
+
+def _thresh_tables(lane):
+    """Per-lane threshold coefficient tables, built from an iota (pallas
+    kernels cannot capture array constants): geo[j] = _RATIO^(j+1),
+    frac[j] = (j+1)/_NL, j = lane index."""
+    j1 = (lane + 1).astype(jnp.float32)
+    geo = jnp.exp(j1 * float(np.log(_RATIO)))
+    frac = j1 * (1.0 / _NL)
+    return geo, frac
+
+
+def _vec_cutoff(scores, kq, m):
+    """Two-level threshold search, vectorized over the _NL thresholds.
+
+    Replaces 2*_NL serial whole-array reductions (≈5-6us on the VPU) with
+    two broadcast compare+reduce passes (<1us). Thresholds within a level
+    are strictly descending, so per-threshold counts are monotone
+    non-decreasing and the first index with count >= kq equals the number
+    of misses — no argmax needed. Semantics identical to
+    ops.effort.compute_cutoff (findCutoff32, bucketMul.metal:141-247).
+
+    scores: [A, B] f32; kq, m: traced scalars. Returns the cutoff scalar.
+    """
+    sc = scores[:, :, None]                                  # [A, B, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _NL), 2)
+    geo, frac = _thresh_tables(lane)
+
+    def level(tvec, lo0, hi0):
+        # tvec: [1, 1, _NL] descending thresholds
+        cnts = jnp.sum((sc > tvec).astype(jnp.float32), axis=(0, 1),
+                       keepdims=True)                        # [1, 1, _NL]
+        miss = (cnts < kq).astype(jnp.float32)
+        nh = jnp.sum(miss)               # first-hit index (monotone cnts)
+        any_hit = nh < float(_NL)
+        nhi = nh.astype(jnp.int32)
+        t_at = lambda i: jnp.sum(jnp.where(lane == i, tvec, 0.0))  # noqa: E731
+        t_lo = jnp.where(any_hit, t_at(nhi), lo0)
+        t_hi = jnp.where(any_hit,
+                         jnp.where(nhi >= 1, t_at(nhi - 1), hi0), hi0)
+        return t_lo, t_hi
+
+    lvl1 = m * geo
+    lo, hi = level(lvl1, jnp.float32(0.0), m)
+    lvl2 = hi - (hi - lo) * frac
+    cutoff, _ = level(lvl2, lo, hi)
+    return cutoff
 
 
 def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
@@ -58,27 +105,7 @@ def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
     scores = jnp.abs(vs_ref[...] * probes_ref[...])          # [P//128, 128]
     kq = float(min(max(round(P * effort), 1), P))
     m = jnp.max(scores) + 1e-30
-
-    def first_hit(ts, lo0, hi0):
-        # ts: python list of traced scalar thresholds, DESCENDING.
-        # Returns (t_lo, t_hi) for the first threshold whose count >= kq,
-        # with argmax-at-0 semantics of the XLA version.
-        t_lo, t_hi = lo0, hi0
-        done = jnp.bool_(False)
-        prev = hi0
-        for t in ts:
-            cnt = jnp.sum((scores > t).astype(jnp.int32))
-            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
-            t_lo = jnp.where(hit, t, t_lo)
-            t_hi = jnp.where(hit, prev, t_hi)
-            done = jnp.logical_or(done, hit)
-            prev = t
-        return t_lo, t_hi
-
-    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
-    lo, hi = first_hit(lvl1, jnp.float32(0.0), m)
-    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
-    cutoff, _ = first_hit(lvl2, lo, hi)
+    cutoff = _vec_cutoff(scores, kq, m)
 
     # ---- rank counts + masked inputs (all in the [nc, G] layout the main
     # loop consumes — Mosaic cannot re-tile (in//128,128)->(nc,G)) --------
@@ -208,24 +235,7 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
     eff = eq_ref[0].astype(jnp.float32) * (1.0 / 65536.0)
     kq = jnp.clip(jnp.round(float(P) * eff), 1.0, float(P))
     m = jnp.max(scores) + 1e-30
-
-    def first_hit(ts, lo0, hi0):
-        t_lo, t_hi = lo0, hi0
-        done = jnp.bool_(False)
-        prev = hi0
-        for t in ts:
-            cnt = jnp.sum((scores > t).astype(jnp.int32))
-            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
-            t_lo = jnp.where(hit, t, t_lo)
-            t_hi = jnp.where(hit, prev, t_hi)
-            done = jnp.logical_or(done, hit)
-            prev = t
-        return t_lo, t_hi
-
-    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
-    lo, hi = first_hit(lvl1, jnp.float32(0.0), m)
-    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
-    cutoff, _ = first_hit(lvl2, lo, hi)
+    cutoff = _vec_cutoff(scores, kq, m)
 
     sel = stats_ref[0] * jnp.abs(v_ref[...]) > cutoff      # [nc, G]
     u = v_ref[...] * sel.astype(jnp.float32)
@@ -323,24 +333,15 @@ def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
         float(P) * eff_ref[...][:, :, :1]), 1.0, float(P))  # [1, T, 1]
     m = jnp.max(scores, axis=(0, 2), keepdims=True) + 1e-30  # [1, T, 1]
 
-    def first_hit(ts, lo0, hi0):
-        t_lo, t_hi = lo0, hi0
-        done = jnp.zeros_like(m, dtype=jnp.bool_)
-        prev = hi0
-        for t in ts:
-            cnt = jnp.sum((scores > t).astype(jnp.float32), axis=(0, 2),
-                          keepdims=True)                    # [1, T, 1]
-            hit = jnp.logical_and(cnt >= kq, jnp.logical_not(done))
-            t_lo = jnp.where(hit, t, t_lo)
-            t_hi = jnp.where(hit, prev, t_hi)
-            done = jnp.logical_or(done, hit)
-            prev = t
-        return t_lo, t_hi
-
-    lvl1 = [m * (_RATIO ** j) for j in range(1, _NL + 1)]
-    lo, hi = first_hit(lvl1, jnp.zeros_like(m), m)
-    lvl2 = [hi - (hi - lo) * (j / _NL) for j in range(1, _NL + 1)]
-    cutoff, _ = first_hit(lvl2, lo, hi)                     # [1, T, 1]
+    # per-slot vectorized two-level search: T small unrolled calls of the
+    # 2D helper (a single [P2, T, 128, NL] broadcast materializes ~4 MB
+    # temporaries per level and blows the 16 MB scoped-VMEM limit next to
+    # the DMA ring)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+    cutoff = jnp.zeros_like(m)                              # [1, T, 1]
+    for t in range(T):
+        c_t = _vec_cutoff(scores[:, t, :], kq[0, t, 0], m[0, t, 0])
+        cutoff = jnp.where(slot_iota == t, c_t, cutoff)
 
     sel = stats_ref[...] * jnp.abs(v_ref[...]) > cutoff     # [nc, T, G]
     u = v_ref[...] * sel.astype(jnp.float32)

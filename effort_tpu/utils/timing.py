@@ -34,9 +34,17 @@ def chain_time(make_chain: Callable[[int], Callable], n_lo: int, n_hi: int,
     f_lo, f_hi = make_chain(n_lo), make_chain(n_hi)
     jax.device_get(f_lo(*next(args_iter)))   # compile
     jax.device_get(f_hi(*next(args_iter)))
-    lo = min(_t(f_lo, next(args_iter)) for _ in range(reps))
-    hi = min(_t(f_hi, next(args_iter)) for _ in range(reps))
+    # median, not min: the tunnel occasionally returns an impossibly-fast
+    # low outlier (below the HBM roofline of the op), which min() would
+    # select; the median is robust to both tails
+    lo = _median(sorted(_t(f_lo, next(args_iter)) for _ in range(reps)))
+    hi = _median(sorted(_t(f_hi, next(args_iter)) for _ in range(reps)))
     return max(hi - lo, 1e-9) / (n_hi - n_lo)
+
+
+def _median(xs):
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
 
 def _t(f, args) -> float:
