@@ -41,7 +41,7 @@ def _build_engine(args):
         w = init_random_weights(cfg, bcfg, keep_dense=args.keep_dense)
     # row-prefix layout: effort is a traced scalar — the REPL's effort
     # knob moves without recompiling (reference contract)
-    dyn = w.layers.w1.bucket_size == 1
+    dyn = w.layers.any_w1.bucket_size == 1
     return Engine(w, cfg, tokenizer=tok, impl=args.impl,
                   dynamic_effort=dyn), cfg
 

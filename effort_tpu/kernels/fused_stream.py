@@ -461,7 +461,9 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, OB), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),
     )(expert, v3d, vs3d, probes3d, stats3d, scales3d, eff3d, bm.vals)
     return acc
 
@@ -478,15 +480,27 @@ def strided_sample_len(in_dim: int, n_probes: int) -> int:
     return in_dim // stride
 
 
+def _tile_bytes(bm: BucketedMatrix, tile_blocks: int) -> int:
+    return (tile_blocks * bm.chunk_rows * bm.vals.shape[-1]
+            * bm.vals.dtype.itemsize)
+
+
 def _auto_slots(bm: BucketedMatrix, tile_blocks: int) -> int:
-    """DMA-ring depth from the VMEM budget: deeper rings hide HBM
-    latency (measured on w1 tiles: 3 slots 58.6us -> 4 slots 44.7us);
-    ~14.5 MB of VMEM is safely spendable on the ring."""
-    tile_bytes = (tile_blocks * bm.chunk_rows * bm.vals.shape[-1]
-                  * bm.vals.dtype.itemsize)
-    # cap at 4: measured win is 3->4 on big tiles; deeper rings showed
-    # RESOURCE_EXHAUSTED at full model depth
-    return max(2, min(3, int(14.8 * 2**20) // max(tile_bytes, 1)))
+    """DMA-ring depth from the VMEM budget (depth beyond 3 measured no
+    gain on w1-class tiles once timing noise was controlled; fused-w13
+    7.3 MB tiles keep 3 thanks to the raised vmem_limit_bytes)."""
+    return max(2, min(3, int(24 * 2**20) // max(_tile_bytes(
+        bm, tile_blocks), 1)))
+
+
+def _vmem_limit(bm: BucketedMatrix, tile_blocks: int, slots: int) -> int:
+    """Scoped-VMEM budget for the pallas call: the DMA ring plus one
+    tile-sized value copy (reading vscr[slot][j] for the MXU dot
+    materializes it) plus headroom for u/out/inputs. The Mosaic default
+    (16 MB) starves fused wide matrices (w1|w3 = 28672 cols); v5e VMEM
+    is far larger."""
+    ring = (slots + 1) * _tile_bytes(bm, tile_blocks)
+    return min(int(100 * 2**20), ring + 8 * 2**20)
 
 
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
@@ -543,7 +557,9 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),
     )(expert, eff_q, v2, vs2, probes2, stats_t, scales_t, bm.vals)
     return acc.reshape(OB)
 
@@ -602,6 +618,8 @@ def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, OB), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),
     )(expert, v2, vs2, probes2, stats_t, scales_t, bm.vals, bm.pos)
     return acc.T.reshape(OB * B)

@@ -32,7 +32,7 @@ from effort_tpu.ops.bucketmul import bucket_matvec, dense_matvec
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
-                      "w1", "w2", "w3", "ffn_gate"],
+                      "w1", "w2", "w3", "ffn_gate", "wqkv", "w13"],
          meta_fields=[])
 @dataclasses.dataclass
 class LayerWeights:
@@ -43,17 +43,31 @@ class LayerWeights:
     w1/w2/w3:    BucketedMatrix with n_experts == L * n_experts(model).
     ffn_gate:    [L, dim, E] bf16 or None (dense models) —
                  reference layer.ffnGate (loader.swift:178-227).
+    wqkv/w13:    optional FUSED projections (output columns concatenated:
+                 q|k|v and w1|w3). One effort kernel launch + ONE shared
+                 selection replaces three/two (the reference dispatches
+                 per matrix, expertMul.swift:24; on TPU the ~9us
+                 fixed cost per launch makes fusion a ~20% decode win).
+                 When set, the corresponding unfused fields are None.
     """
     attn_norm: jax.Array
     ffn_norm: jax.Array
-    wq: BucketedMatrix
-    wk: BucketedMatrix
-    wv: BucketedMatrix
+    wq: Optional[BucketedMatrix]
+    wk: Optional[BucketedMatrix]
+    wv: Optional[BucketedMatrix]
     wo: BucketedMatrix
-    w1: BucketedMatrix
+    w1: Optional[BucketedMatrix]
     w2: BucketedMatrix
-    w3: BucketedMatrix
+    w3: Optional[BucketedMatrix]
     ffn_gate: Optional[jax.Array]
+    wqkv: Optional[BucketedMatrix] = None
+    w13: Optional[BucketedMatrix] = None
+
+    @property
+    def any_w1(self) -> BucketedMatrix:
+        """The FFN up-projection container (fused or not) — for callers
+        that only need layout metadata (bucket_size, dtype)."""
+        return self.w13 if self.w13 is not None else self.w1
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -143,10 +157,17 @@ def _psum(x, tp_axis):
 def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
          tp_axis=None):
     E = cfg.n_experts
+    hid = cfg.hidden_dim
     mv = partial(bucket_matvec, effort=effort, impl=impl)
+
+    def up(inst):
+        if layer.w13 is not None:
+            x13 = mv(layer.w13, x, expert=inst)
+            return x13[:hid], x13[hid:]
+        return mv(layer.w1, x, expert=inst), mv(layer.w3, x, expert=inst)
+
     if E == 1:
-        x1 = mv(layer.w1, x, expert=l)
-        x3 = mv(layer.w3, x, expert=l)
+        x1, x3 = up(l)
         x2 = jax.nn.silu(x1) * x3           # silu kernel, aux.metal silu32b
         return _psum(mv(layer.w2, x2, expert=l), tp_axis)
     # MoE: top-2 gating (runNetwork.swift:184-201)
@@ -157,8 +178,7 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
     out = jnp.zeros((cfg.dim,), jnp.float32)
     for i in range(cfg.n_experts_per_tok):
         inst = l * E + top_idx[i]
-        x1 = mv(layer.w1, x, expert=inst)
-        x3 = mv(layer.w3, x, expert=inst)
+        x1, x3 = up(inst)
         x2 = jax.nn.silu(x1) * x3
         out = out + gates[i] * mv(layer.w2, x2, expert=inst)
     return _psum(out, tp_axis)
@@ -217,13 +237,22 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
     KV, D = cfg.n_kv_heads, cfg.head_dim
     mv = partial(bucket_matvec, effort=effort, impl=impl)
 
+    q_out = cfg.n_heads * D
+    kv_out = KV * D
+
     def layer_step(carry, l):
         h, k_cache, v_cache = carry
         layer = w.layers
         h_norm = rms_norm(h, layer.attn_norm[l], cfg.norm_eps)
-        q = mv(layer.wq, h_norm, expert=l)
-        k = mv(layer.wk, h_norm, expert=l)
-        v = mv(layer.wv, h_norm, expert=l)
+        if layer.wqkv is not None:
+            qkv = mv(layer.wqkv, h_norm, expert=l)
+            q = qkv[:q_out]
+            k = qkv[q_out:q_out + kv_out]
+            v = qkv[q_out + kv_out:]
+        else:
+            q = mv(layer.wq, h_norm, expert=l)
+            k = mv(layer.wk, h_norm, expert=l)
+            v = mv(layer.wv, h_norm, expert=l)
         rpos = pos - rope_offset
         q = rope_rotate(q.reshape(cfg.n_heads, D), rpos, D,
                         cfg.rope_theta).reshape(-1)
@@ -305,13 +334,22 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
     H = w.tok_embeddings[toks].astype(jnp.float32)          # [B, dim]
     rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
 
+    q_out = cfg.n_heads * D
+    kv_out = KV * D
+
     def layer_step(carry, l):
         Hc, k_cache, v_cache = carry
         layer = w.layers
         Hn = rms_norm(Hc, layer.attn_norm[l], cfg.norm_eps)
-        Q = _mv_batch(layer.wq, Hn, efforts, l, impl)
-        K = _mv_batch(layer.wk, Hn, efforts, l, impl)
-        V = _mv_batch(layer.wv, Hn, efforts, l, impl)
+        if layer.wqkv is not None:
+            QKV = _mv_batch(layer.wqkv, Hn, efforts, l, impl)
+            Q = QKV[:, :q_out]
+            K = QKV[:, q_out:q_out + kv_out]
+            V = QKV[:, q_out + kv_out:]
+        else:
+            Q = _mv_batch(layer.wq, Hn, efforts, l, impl)
+            K = _mv_batch(layer.wk, Hn, efforts, l, impl)
+            V = _mv_batch(layer.wv, Hn, efforts, l, impl)
         rpos = pos - offs
         Q = rope(Q.reshape(B, cfg.n_heads, D), rpos, D,
                  cfg.rope_theta).reshape(B, -1)
@@ -330,8 +368,13 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
         Hc = Hc + _mv_batch(layer.wo, attn, efforts, l, impl)
         Fn = rms_norm(Hc, layer.ffn_norm[l], cfg.norm_eps)
         if cfg.n_experts == 1:
-            x1 = _mv_batch(layer.w1, Fn, efforts, l, impl)
-            x3 = _mv_batch(layer.w3, Fn, efforts, l, impl)
+            if layer.w13 is not None:
+                X13 = _mv_batch(layer.w13, Fn, efforts, l, impl)
+                x1 = X13[:, :cfg.hidden_dim]
+                x3 = X13[:, cfg.hidden_dim:]
+            else:
+                x1 = _mv_batch(layer.w1, Fn, efforts, l, impl)
+                x3 = _mv_batch(layer.w3, Fn, efforts, l, impl)
             x2 = jax.nn.silu(x1) * x3
             Hc = Hc + _mv_batch(layer.w2, x2, efforts, l, impl)
         else:
@@ -358,8 +401,12 @@ def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
     from effort_tpu.ops.bucketmul import bucket_matmul
     if cfg.n_experts == 1:
         mm = partial(bucket_matmul, effort=effort, impl=impl)
-        x1 = mm(layer.w1, X, expert=l)
-        x3 = mm(layer.w3, X, expert=l)
+        if layer.w13 is not None:
+            X13 = mm(layer.w13, X, expert=l)
+            x1, x3 = X13[:, :cfg.hidden_dim], X13[:, cfg.hidden_dim:]
+        else:
+            x1 = mm(layer.w1, X, expert=l)
+            x3 = mm(layer.w3, X, expert=l)
         x2 = jax.nn.silu(x1) * x3
         return _psum(mm(layer.w2, x2, expert=l), tp_axis)
     impl_tok = "jnp" if impl in ("auto", "pallas", "stream") else impl
@@ -398,13 +445,22 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
     mm = partial(bucket_matmul, effort=effort, impl=impl)
     rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
 
+    q_out = cfg.n_heads * D
+    kv_out = KV * D
+
     def layer_step(carry, l):
         X, k_cache, v_cache = carry
         layer = w.layers
         Xn = rms_norm(X, layer.attn_norm[l], cfg.norm_eps)
-        Q = mm(layer.wq, Xn, expert=l)                       # [T, H*D]
-        K = mm(layer.wk, Xn, expert=l)
-        V = mm(layer.wv, Xn, expert=l)
+        if layer.wqkv is not None:
+            QKV = mm(layer.wqkv, Xn, expert=l)               # [T, q+2kv]
+            Q = QKV[:, :q_out]
+            K = QKV[:, q_out:q_out + kv_out]
+            V = QKV[:, q_out + kv_out:]
+        else:
+            Q = mm(layer.wq, Xn, expert=l)                   # [T, H*D]
+            K = mm(layer.wk, Xn, expert=l)
+            V = mm(layer.wv, Xn, expert=l)
         Q = rope(Q.reshape(T, cfg.n_heads, D), rpos, D,
                  cfg.rope_theta).reshape(T, -1)
         K = rope(K.reshape(T, KV, D), rpos, D, cfg.rope_theta)
@@ -498,10 +554,35 @@ def synth_raw_weights(cfg: ModelConfig, seed: int = 0, scale: float = 0.02,
     return raw
 
 
+def _concat_raw(entries):
+    """Concatenate raw weight entries along the output-column axis.
+
+    Entries are [n_inst, in, out] arrays or lazy (maker, n_inst, in, out)
+    tuples (synth_raw_weights); the result follows the same convention so
+    chunked bucketization still bounds peak HBM."""
+    def norm(e):
+        if isinstance(e, tuple):
+            return e
+        return (partial(jax.lax.dynamic_slice_in_dim, e, axis=0),) \
+            + tuple(e.shape)
+    mks = [norm(e) for e in entries]
+    n_inst, in_d = mks[0][1], mks[0][2]
+    assert all(m[1] == n_inst and m[2] == in_d for m in mks)
+    out_total = sum(m[3] for m in mks)
+
+    def maker(s, n):
+        return jnp.concatenate([m[0](s, n) for m in mks], axis=2)
+    return (maker, n_inst, in_d, out_total)
+
+
 def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
                      keep_dense: bool = False, rms_m=None, rms_f=None,
-                     bake: bool = True) -> ModelWeights:
+                     bake: bool = True, fuse: bool = False) -> ModelWeights:
     """Bucketize raw dense tensors into ModelWeights.
+
+    fuse=True builds FUSED q|k|v and w1|w3 projections (one effort kernel
+    launch + one shared selection each) and leaves the unfused fields
+    None — the decode fast path; see LayerWeights.wqkv.
 
     With rms calibration and bake=True, the WHOLE-MODEL RELAYOUT pass
     runs: the residual space is permuted once (pi_m, descending rms) and
@@ -557,20 +638,36 @@ def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
         ffn_norm = ffn_norm[:, pi_m]
         norm = norm[pi_m]
 
+    if fuse:
+        # out_perm must act within each fused half: w1 cols and w3 cols
+        # each carry the hidden-space permutation pi_f
+        pi_13 = (None if pi_f is None else
+                 jnp.concatenate([pi_f, pi_f + cfg.hidden_dim]))
+        proj = dict(
+            wq=None, wk=None, wv=None, w1=None, w3=None,
+            wqkv=bucketed(_concat_raw([raw["wq"], raw["wk"], raw["wv"]]),
+                          rms_m, pi_m),
+            w13=bucketed(_concat_raw([raw["w1"], raw["w3"]]),
+                         rms_m, pi_m, pi_13),
+        )
+    else:
+        proj = dict(
+            wq=bucketed(raw["wq"], rms_m, pi_m),
+            wk=bucketed(raw["wk"], rms_m, pi_m),
+            wv=bucketed(raw["wv"], rms_m, pi_m),
+            w1=bucketed(raw["w1"], rms_m, pi_m, pi_f),
+            w3=bucketed(raw["w3"], rms_m, pi_m, pi_f),
+        )
     layers = LayerWeights(
         attn_norm=attn_norm,
         ffn_norm=ffn_norm,
-        wq=bucketed(raw["wq"], rms_m, pi_m),
-        wk=bucketed(raw["wk"], rms_m, pi_m),
-        wv=bucketed(raw["wv"], rms_m, pi_m),
         wo=bucketed(raw["wo"], None, None,
                     pi_m if bake else None),
-        w1=bucketed(raw["w1"], rms_m, pi_m, pi_f),
         w2=bucketed(raw["w2"], rms_f, pi_f, pi_m),
-        w3=bucketed(raw["w3"], rms_m, pi_m, pi_f),
         ffn_gate=(None if raw["ffn_gate"] is None else
                   (raw["ffn_gate"][:, pi_m, :] if bake and pi_m is not None
                    else raw["ffn_gate"]).astype(jnp.bfloat16)),
+        **proj,
     )
     return ModelWeights(
         tok_embeddings=emb.astype(jnp.bfloat16),
@@ -583,7 +680,8 @@ def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
 def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
                         seed: int = 0, keep_dense: bool = False,
                         scale: float = 0.02, calibrate: bool = False,
-                        rms_sigma: float = 1.2) -> ModelWeights:
+                        rms_sigma: float = 1.2,
+                        fuse: bool = False) -> ModelWeights:
     """Random-weight model (no public checkpoints ship with this repo);
     used by tests and synthetic benchmarks.
 
@@ -604,4 +702,4 @@ def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
     raw = synth_raw_weights(cfg, seed=seed, scale=scale, rms_m=rms_m,
                             rms_f=rms_f, lazy=True)
     return assemble_weights(raw, cfg, bcfg, keep_dense=keep_dense,
-                            rms_m=rms_m, rms_f=rms_f)
+                            rms_m=rms_m, rms_f=rms_f, fuse=fuse)

@@ -31,7 +31,7 @@ def main():
     bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype=dtype)
     t0 = time.time()
     w = init_random_weights(cfg, bcfg, seed=0, calibrate=True)
-    jax.block_until_ready(w.layers.w1.vals)
+    jax.block_until_ready(w.layers.any_w1.vals)
     print(f"init {time.time()-t0:.0f}s; B={B} L={L} dtype={dtype} "
           f"efforts={effs}", flush=True)
 

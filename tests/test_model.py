@@ -117,3 +117,45 @@ def test_dynamic_effort_engine():
     # prompt_logits path too
     lg, preds = eng.prompt_logits([1, 5, 9], effort=0.5)
     assert len(preds) == 3
+
+
+def test_fused_qkv_w13_parity(tiny):
+    """Fused q|k|v and w1|w3 projections (LayerWeights.wqkv/w13):
+    near-identical logits at effort=1.0 (coverage is total up to cutoff
+    boundary rows — fused probes differ from per-matrix probes), same
+    argmax and high cosine at partial effort (shared selection)."""
+    cfg, wu = tiny
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    wf = init_random_weights(cfg, bcfg, seed=0, keep_dense=True, fuse=True)
+    assert wf.layers.wq is None and wf.layers.w13 is not None
+    assert wf.layers.wqkv.out_dim == (cfg.n_heads + 2 * cfg.n_kv_heads) \
+        * cfg.head_dim
+    assert wf.layers.w13.out_dim == 2 * cfg.hidden_dim
+
+    def logits(w, eff):
+        kc, vc = make_kv_cache(cfg)
+        lg, _, _ = forward_token(w, cfg, jnp.int32(3), jnp.int32(0), kc, vc,
+                                 effort=eff, impl="jnp")
+        return np.asarray(lg)
+
+    lu, lf = logits(wu, 1.0), logits(wf, 1.0)
+    cos = lu @ lf / (np.linalg.norm(lu) * np.linalg.norm(lf) + 1e-30)
+    assert cos > 0.9999
+    assert np.argmax(lu) == np.argmax(lf)
+    lu, lf = logits(wu, 0.5), logits(wf, 0.5)
+    cos = lu @ lf / (np.linalg.norm(lu) * np.linalg.norm(lf) + 1e-30)
+    assert cos > 0.95
+    assert np.argmax(lu) == np.argmax(lf)
+
+
+def test_fused_engine_generate(tiny):
+    """Engine decode + prefill work on fused weights (calibrated/baked)."""
+    cfg, _ = tiny
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=8)
+    wf = init_random_weights(cfg, bcfg, seed=0, keep_dense=True, fuse=True,
+                             calibrate=True)
+    eng = Engine(wf, cfg, impl="jnp", pad_to=8)
+    r = eng.generate([1, 5, 9], n_new=4, effort=0.5)
+    assert len(r.token_ids) == 4
+    lg, preds = eng.prompt_logits([1, 5, 9], effort=0.5)
+    assert len(preds) == 3
