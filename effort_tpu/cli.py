@@ -38,7 +38,11 @@ def _build_engine(args):
         cfg = tiny_test_model() if args.synthetic == "tiny" else mistral_7b()
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
-        w = init_random_weights(cfg, bcfg, keep_dense=args.keep_dense)
+        w = init_random_weights(cfg, bcfg, keep_dense=args.keep_dense,
+                                fuse=args.fuse)
+    if args.qhead:
+        from effort_tpu.models.transformer import quantize_head
+        w = quantize_head(w)
     # row-prefix layout: effort is a traced scalar — the REPL's effort
     # knob moves without recompiling (reference contract)
     dyn = w.layers.any_w1.bucket_size == 1
@@ -71,6 +75,11 @@ def main(argv=None):
     p.add_argument("--impl", default="auto",
                    choices=["auto", "jnp", "pallas", "dense"])
     p.add_argument("--keep-dense", action="store_true")
+    p.add_argument("--fuse", action="store_true",
+                   help="fused q|k|v and w1|w3 projections (one kernel "
+                        "launch + one shared selection each)")
+    p.add_argument("--qhead", action="store_true",
+                   help="int8 LM head for decode (exact top-16 rescore)")
     p.add_argument("--calib", default=None,
                    help="convert: .npz with rms_m/rms_f activation "
                         "calibration -> baked whole-model relayout "

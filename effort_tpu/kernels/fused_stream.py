@@ -494,12 +494,20 @@ def _auto_slots(bm: BucketedMatrix, tile_blocks: int) -> int:
 
 
 def _vmem_limit(bm: BucketedMatrix, tile_blocks: int, slots: int) -> int:
-    """Scoped-VMEM budget for the pallas call: the DMA ring plus one
-    tile-sized value copy (reading vscr[slot][j] for the MXU dot
-    materializes it) plus headroom for u/out/inputs. The Mosaic default
-    (16 MB) starves fused wide matrices (w1|w3 = 28672 cols); v5e VMEM
-    is far larger."""
-    ring = (slots + 1) * _tile_bytes(bm, tile_blocks)
+    """Scoped-VMEM budget for the pallas call: the DMA ring plus the
+    decode-path value temporaries plus headroom for u/out/inputs. The
+    Mosaic default (16 MB) starves fused wide matrices (w1|w3 = 28672
+    cols); v5e VMEM is far larger.
+
+    Decode temporaries scale with dtype: bf16 tiles are read once for
+    the MXU dot (one tile-sized copy); int8 adds a bf16 cast (2x); the
+    packed-int4 path materializes int32-widened repeat+shift stages
+    (~10x the packed tile bytes)."""
+    tile = _tile_bytes(bm, tile_blocks)
+    factor = {2: 1, 1: 2}.get(bm.vals.dtype.itemsize, 2)
+    if bm.vals_packed:
+        factor = 10
+    ring = slots * tile + factor * (tile // tile_blocks + 1)
     return min(int(100 * 2**20), ring + 8 * 2**20)
 
 

@@ -71,7 +71,8 @@ class LayerWeights:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["tok_embeddings", "norm", "output", "layers"],
+         data_fields=["tok_embeddings", "norm", "output", "layers",
+                      "output_q", "output_qscale"],
          meta_fields=[])
 @dataclasses.dataclass
 class ModelWeights:
@@ -80,6 +81,56 @@ class ModelWeights:
     output: jax.Array           # [dim, vocab] bf16 (lm head, dense:
                                 #  reference basicMul, runNetwork.swift:209)
     layers: LayerWeights
+    # optional int8 LM head for DECODE (quantize_head): per-column scales,
+    # int8xint8 MXU dot. The dense bf16 head reads 262 MB/token
+    # (dim*vocab*2) — ~330us, the single largest fixed decode cost; int8
+    # halves it. Greedy argmax is protected by an exact bf16 rescore of
+    # the int8 top-16 (the reference's own sampling reads only mpsTopK
+    # k=16, mps.swift:49-80).
+    output_q: Optional[jax.Array] = None        # [dim, vocab] int8
+    output_qscale: Optional[jax.Array] = None   # [vocab] f32
+
+
+def quantize_head(w: ModelWeights, keep_exact: bool = True) -> ModelWeights:
+    """Add an int8 copy of the LM head (per-output-column absmax scales).
+
+    keep_exact keeps the bf16 head for the top-16 exact rescore (and for
+    prefill, which stays bf16 — the head there is amortized over T rows).
+    """
+    W = w.output.astype(jnp.float32)
+    sc = jnp.max(jnp.abs(W), axis=0) / 127.0 + 1e-30
+    Wi = jnp.round(W / sc).astype(jnp.int8)
+    return dataclasses.replace(
+        w, output_q=Wi, output_qscale=sc,
+        output=w.output if keep_exact else None)
+
+
+_HEAD_RESCORE_K = 16
+
+
+def head_logits(w: ModelWeights, h: jax.Array) -> jax.Array:
+    """Decode LM head: h [dim] -> logits [vocab] f32.
+
+    With an int8 head present: symmetric per-tensor int8 activation x
+    per-column int8 weights on the MXU (int32 accumulate), then — when
+    the bf16 head is retained — the top-16 logits are recomputed exactly
+    in bf16, making greedy argmax and k<=16 top-k reads (answer_limited,
+    the reference's limitLogits) match the dense head for any realistic
+    logit margin."""
+    if w.output_q is None:
+        return dense_matvec(h, w.output)
+    vm = jnp.max(jnp.abs(h)) / 127.0 + 1e-30
+    hi = jnp.round(h / vm).astype(jnp.int8)
+    y = jax.lax.dot_general(hi, w.output_q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (w.output_qscale * vm)
+    if w.output is not None:
+        _, top_i = jax.lax.top_k(y, _HEAD_RESCORE_K)
+        cols = jnp.take(w.output, top_i, axis=1)            # [dim, K]
+        exact = jnp.dot(h.astype(jnp.bfloat16), cols,
+                        preferred_element_type=jnp.float32)
+        y = y.at[top_i].set(exact)
+    return y
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -219,7 +270,7 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
         tp_axis=tp_axis, ffn_fn=ffn_fn, rope_offset=rope_offset,
         mask_from=mask_from, kv_update_fn=kv_update_fn, attn_fn=attn_fn)
     h = rms_norm(h, w.norm, cfg.norm_eps)
-    logits = dense_matvec(h, w.output)
+    logits = head_logits(w, h)
     if collect_h:
         return logits, k_cache, v_cache, h_layers
     return logits, k_cache, v_cache
@@ -388,9 +439,31 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
         layer_step, (H, k_cache, v_cache),
         jnp.arange(cfg.n_layers, dtype=jnp.int32))
     H = rms_norm(H, w.norm, cfg.norm_eps)
-    logits = jnp.dot(H.astype(jnp.bfloat16), w.output,
-                     preferred_element_type=jnp.float32)
+    logits = head_logits_batch(w, H)
     return logits, k_cache, v_cache
+
+
+def head_logits_batch(w: ModelWeights, H: jax.Array) -> jax.Array:
+    """Batched decode LM head: H [B, dim] -> [B, vocab] f32 (per-row
+    activation scale; see head_logits)."""
+    if w.output_q is None:
+        return jnp.dot(H.astype(jnp.bfloat16), w.output,
+                       preferred_element_type=jnp.float32)
+    B = H.shape[0]
+    vm = jnp.max(jnp.abs(H), axis=1, keepdims=True) / 127.0 + 1e-30
+    Hi = jnp.round(H / vm).astype(jnp.int8)
+    Y = jax.lax.dot_general(Hi, w.output_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    Y = Y.astype(jnp.float32) * (w.output_qscale[None, :] * vm)
+    if w.output is not None:
+        _, top_i = jax.lax.top_k(Y, _HEAD_RESCORE_K)        # [B, K]
+        cols = jnp.take(w.output, top_i.reshape(-1), axis=1).reshape(
+            -1, B, _HEAD_RESCORE_K)                         # [dim, B, K]
+        exact = jnp.einsum("bd,dbk->bk", H.astype(jnp.bfloat16),
+                           cols.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        Y = jax.vmap(lambda y, i, e: y.at[i].set(e))(Y, top_i, exact)
+    return Y
 
 
 def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,

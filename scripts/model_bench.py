@@ -6,7 +6,7 @@ per-token time via the two-length slope of the jitted decode scan
 runNetwork.swift:299-303).
 
 Usage: model_bench.py [n_layers] [dtype] [efforts_csv] [bucket_size]
-       [calibrate 0|1] [fuse 0|1]
+       [calibrate 0|1] [fuse 0|1] [qhead 0|1]
 """
 
 import sys
@@ -31,6 +31,7 @@ def main():
     B = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     calibrate = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     fuse = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
+    qhead = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     cfg = mistral_7b(n_layers=L, max_seq_len=256)
     bcfg = BucketConfig(bucket_size=B, chunk_rows=16 if B > 1 else 128,
                         dtype=dtype)
@@ -38,9 +39,12 @@ def main():
     keep_dense = dtype == "bf16" and L <= 8   # dense copies blow HBM at depth
     w = init_random_weights(cfg, bcfg, seed=0, keep_dense=keep_dense,
                             calibrate=calibrate, fuse=fuse)
+    if qhead:
+        from effort_tpu.models.transformer import quantize_head
+        w = quantize_head(w)
     jax.block_until_ready(w.layers.any_w1.vals)
     print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype} B={B} "
-          f"calibrate={calibrate} fuse={fuse}", flush=True)
+          f"calibrate={calibrate} fuse={fuse} qhead={qhead}", flush=True)
 
     def decode(w, tok0, n, effort, impl):
         k_cache, v_cache = make_kv_cache(cfg)

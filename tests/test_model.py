@@ -159,3 +159,34 @@ def test_fused_engine_generate(tiny):
     assert len(r.token_ids) == 4
     lg, preds = eng.prompt_logits([1, 5, 9], effort=0.5)
     assert len(preds) == 3
+
+
+def test_quantized_head_argmax_parity(tiny):
+    """int8 LM head with exact top-16 rescore: same greedy argmax as the
+    bf16 head; top-16 logit values exact."""
+    from effort_tpu.models.transformer import (quantize_head, head_logits,
+                                               head_logits_batch)
+    cfg, w = tiny
+    wq = quantize_head(w)
+    for s in range(8):
+        h = jax.random.normal(jax.random.key(s), (cfg.dim,), jnp.float32)
+        yb = np.asarray(head_logits(w, h))
+        yq = np.asarray(head_logits(wq, h))
+        assert np.argmax(yb) == np.argmax(yq)
+        ti = np.argsort(yq)[-8:]
+        np.testing.assert_allclose(yq[ti], yb[ti], rtol=2e-2, atol=1e-3)
+    H = jax.random.normal(jax.random.key(99), (4, cfg.dim), jnp.float32)
+    Yb = np.asarray(head_logits_batch(w, H))
+    Yq = np.asarray(head_logits_batch(wq, H))
+    assert (np.argmax(Yb, 1) == np.argmax(Yq, 1)).all()
+
+
+def test_quantized_head_engine(tiny):
+    """Greedy generation with the int8 head matches the bf16 head."""
+    from effort_tpu.models.transformer import quantize_head
+    cfg, w = tiny
+    eng_b = Engine(w, cfg, impl="jnp", pad_to=8)
+    eng_q = Engine(quantize_head(w), cfg, impl="jnp", pad_to=8)
+    rb = eng_b.generate([1, 5, 9], n_new=6, effort=0.5)
+    rq = eng_q.generate([1, 5, 9], n_new=6, effort=0.5)
+    assert rb.token_ids == rq.token_ids
