@@ -93,14 +93,16 @@ def main(argv=None):
 
     if args.mode == "convert":
         from effort_tpu.config import (BucketConfig, llama2_7b, mistral_7b,
-                                       mixtral_8x7b)
+                                       mixtral_8x7b, tiny_test_model)
         from effort_tpu.convert.convert import convert_checkpoint
         cfg = {"mistral-7b": mistral_7b(),
                "mixtral-8x7b": mixtral_8x7b(),
-               "llama2-7b": llama2_7b()}[args.model]
+               "llama2-7b": llama2_7b(),
+               "tiny": tiny_test_model()}[args.model]
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
-        convert_checkpoint(args.src, args.dst, cfg, bcfg, calib=args.calib)
+        convert_checkpoint(args.src, args.dst, cfg, bcfg, calib=args.calib,
+                           fuse=args.fuse)
         return
 
     if args.mode == "bucket":

@@ -112,7 +112,7 @@ def _bucketize_and_store(writer: SafeTensorWriter, prefix: str,
 def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
                        bcfg: BucketConfig, family: Optional[str] = None,
                        store_core: bool = False, calib: Optional[Dict] = None,
-                       progress=print) -> str:
+                       fuse: bool = False, progress=print) -> str:
     """Convert an HF checkpoint directory to the effort-tpu bucket format.
 
     calib: optional {"rms_m": [dim], "rms_f": [hidden]} activation
@@ -122,6 +122,10 @@ def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
     permutations absorbed into the weights (embedding columns,
     projection input rows, producer output columns, norms, lm head), so
     the served model needs no runtime permute anywhere.
+
+    fuse: bucketize CONCATENATED q|k|v and w1|w3 projections (stored as
+    attention.wqkv / feed_forward.experts.{e}.w13) — one effort kernel
+    launch + one shared selection each at serve time (LayerWeights.wqkv).
     """
     import numpy as _np
     family = family or ("mixtral" if cfg.is_moe else "mistral")
@@ -173,36 +177,56 @@ def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
         writer.add(pre + "ffn_norm",
                    permuted(src.get_f32(names["ffn_norm"].format(l=l)),
                             pi_m))
-        for p in ("wq", "wk", "wv", "wo"):
+        if fuse:
+            qkv = np.concatenate(
+                [src.get_f32(names[p].format(l=l))
+                 for p in ("wq", "wk", "wv")], axis=0)   # HF [out, in]
+            _bucketize_and_store(writer, pre + "attention.wqkv", qkv,
+                                 bcfg, store_core, in_perm=pi_m)
+            attn_projs = ("wo",)
+        else:
+            attn_projs = ("wq", "wk", "wv", "wo")
+        for p in attn_projs:
             ip, op = proj_perms[p]
             _bucketize_and_store(
                 writer, pre + f"attention.{p}",
                 src.get_f32(names[p].format(l=l)), bcfg, store_core,
                 in_perm=ip, out_perm=op)
+        # out_perm for the fused w1|w3: pi_f within each half
+        pi_13 = (None if pi_f is None else
+                 np.concatenate([pi_f, pi_f + cfg.hidden_dim]))
+
+        def store_ffn(e: int, get):
+            if fuse:
+                w13 = np.concatenate([get("w1"), get("w3")], axis=0)
+                _bucketize_and_store(
+                    writer, pre + f"feed_forward.experts.{e}.w13", w13,
+                    bcfg, store_core, in_perm=pi_m, out_perm=pi_13)
+                ps = ("w2",)
+            else:
+                ps = ("w1", "w2", "w3")
+            for p in ps:
+                ip, op = proj_perms[p]
+                _bucketize_and_store(
+                    writer, pre + f"feed_forward.experts.{e}.{p}",
+                    get(p), bcfg, store_core, in_perm=ip, out_perm=op)
+
         if cfg.is_moe:
             writer.add(pre + "ffn_gate",
                        _to_bits_bf16(permuted(
                            src.get_f32(names["gate"].format(l=l)).T, pi_m)),
                        bf16_bits=True)
             for e in range(cfg.n_experts):
-                for p in ("w1", "w2", "w3"):
-                    ip, op = proj_perms[p]
-                    _bucketize_and_store(
-                        writer, pre + f"feed_forward.experts.{e}.{p}",
-                        src.get_f32(names[p].format(l=l, e=e)), bcfg,
-                        store_core, in_perm=ip, out_perm=op)
+                store_ffn(e, lambda p, e=e: src.get_f32(
+                    names[p].format(l=l, e=e)))
         else:
-            for p in ("w1", "w2", "w3"):
-                ip, op = proj_perms[p]
-                _bucketize_and_store(
-                    writer, pre + f"feed_forward.experts.0.{p}",
-                    src.get_f32(names[p].format(l=l)), bcfg, store_core,
-                    in_perm=ip, out_perm=op)
+            store_ffn(0, lambda p: src.get_f32(names[p].format(l=l)))
     writer.save()
     src.close()
 
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
         json.dump({"model": dataclasses.asdict(cfg),
-                   "buckets": dataclasses.asdict(bcfg)}, f, indent=2)
+                   "buckets": dataclasses.asdict(bcfg),
+                   "fused": fuse}, f, indent=2)
     progress(f"saved {model_tag} to {dst_dir}")
     return model_tag

@@ -176,6 +176,8 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
     percent_load so the weights fit the device HBM, like the reference's
     autoAdjustPercent RAM probe."""
     cfg, bcfg = load_config(ckpt_dir)
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        fused = bool(json.load(f).get("fused", False))
     if auto_adjust and percent_load is None:
         percent_load = auto_percent_load(cfg, bcfg)
     r = MultiShardReader(ckpt_dir, model)
@@ -192,15 +194,21 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
                 for l in range(L) for e in range(E)],
             cfg, bcfg, percent_load)
 
+    if fused:
+        proj = dict(wq=None, wk=None, wv=None, w1=None, w3=None,
+                    wqkv=attn("wqkv"), w13=ffn("w13"))
+    else:
+        proj = dict(wq=attn("wq"), wk=attn("wk"), wv=attn("wv"),
+                    w1=ffn("w1"), w3=ffn("w3"))
     layers = LayerWeights(
         attn_norm=jnp.stack([jnp.asarray(np.array(r.get_f32(
             f"layers.{l}.attention_norm"))) for l in range(L)]),
         ffn_norm=jnp.stack([jnp.asarray(np.array(r.get_f32(
             f"layers.{l}.ffn_norm"))) for l in range(L)]),
-        wq=attn("wq"), wk=attn("wk"), wv=attn("wv"), wo=attn("wo"),
-        w1=ffn("w1"), w2=ffn("w2"), w3=ffn("w3"),
+        wo=attn("wo"), w2=ffn("w2"),
         ffn_gate=(jnp.stack([_bf16(r, f"layers.{l}.ffn_gate")
                              for l in range(L)]) if cfg.is_moe else None),
+        **proj,
     )
     w = ModelWeights(
         tok_embeddings=_bf16(r, "tok_embeddings"),

@@ -199,3 +199,34 @@ def test_auto_percent_load():
     # huge budget -> full load
     assert auto_percent_load(cfg, bcfg,
                              hbm_budget_bytes=64 * 2**30) == 1.0
+
+
+@pytest.mark.parametrize("family", ["mistral", "mixtral"])
+def test_convert_fused_roundtrip(tmp_path, rng, family):
+    """fuse=True conversion stores wqkv/w13; the loaded fused model's
+    logits track an unfused conversion of the same checkpoint."""
+    cfg = tiny_test_model(n_experts=4 if family == "mixtral" else 1)
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    src, dstu, dstf = tmp_path / "hf", tmp_path / "bu", tmp_path / "bf"
+    src.mkdir()
+    _write_hf_ckpt(src, cfg, rng, family)
+    convert_checkpoint(str(src), str(dstu), cfg, bcfg, family=family,
+                       progress=lambda *a: None)
+    convert_checkpoint(str(src), str(dstf), cfg, bcfg, family=family,
+                       fuse=True, progress=lambda *a: None)
+
+    wu, cfgu, _ = load_bucketized(str(dstu))
+    wf, cfgf, _ = load_bucketized(str(dstf))
+    assert wf.layers.wqkv is not None and wf.layers.w13 is not None
+    assert wf.layers.wq is None
+
+    def logits(w, cfg, eff):
+        k, v = make_kv_cache(cfg)
+        lg, _, _ = forward_token(w, cfg, jnp.asarray(3), jnp.asarray(0),
+                                 k, v, effort=eff, impl="jnp")
+        return np.asarray(lg)
+
+    lu, lf = logits(wu, cfgu, 1.0), logits(wf, cfgf, 1.0)
+    cos = lu @ lf / (np.linalg.norm(lu) * np.linalg.norm(lf) + 1e-30)
+    assert cos > 0.999, cos
+    assert np.argmax(lu) == np.argmax(lf)
