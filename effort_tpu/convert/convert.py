@@ -227,6 +227,7 @@ def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
         json.dump({"model": dataclasses.asdict(cfg),
                    "buckets": dataclasses.asdict(bcfg),
-                   "fused": fuse}, f, indent=2)
+                   "fused": fuse,
+                   "calibrated": calib is not None}, f, indent=2)
     progress(f"saved {model_tag} to {dst_dir}")
     return model_tag

@@ -43,7 +43,8 @@ def _arr(reader: MultiShardReader, name: str) -> jnp.ndarray:
 
 def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
                     cfg: ModelConfig, bcfg: BucketConfig,
-                    percent_load: Optional[float] = None) -> BucketedMatrix:
+                    percent_load: Optional[float] = None,
+                    rows_sorted: bool = False) -> BucketedMatrix:
     """Stack per-instance tensors (one per prefix) into one packed
     BucketedMatrix whose n_experts = len(prefixes)."""
     info = reader._reader(prefixes[0] + ".vals").info(prefixes[0] + ".vals")
@@ -80,7 +81,9 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     # truncated loading at load time
     K = K_stored
     if percent_load is not None and percent_load < 1.0:
-        if B == 1:
+        if B == 1 and not rows_sorted:
+            pass     # see truncate_bucketed: unsorted rows stay whole
+        elif B == 1:
             # row-prefix layout: drop the TRAILING (least-important,
             # calibration-sorted) row chunks — the input-dim analog of
             # the reference's percentLoad bucket-row truncation
@@ -125,6 +128,7 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         in_dim=in_dim, out_dim=out_dim, bucket_size=B, chunk_rows=G,
         n_ranks=K, n_experts=E, dtype_name=bcfg.dtype,
         perm_segment=max(1, G // 4),
+        rows_sorted=rows_sorted,
     )
 
 
@@ -141,6 +145,73 @@ def model_weight_bytes(cfg: ModelConfig, bcfg: BucketConfig,
                   + E * 3 * dim * hid)
     return int(params * item * percent_load
                + 2 * 2 * cfg.vocab_size * dim)        # embeddings + head
+
+
+def truncate_bucketed(bm: BucketedMatrix,
+                      percent_load: float) -> BucketedMatrix:
+    """In-memory truncated loading: the percentLoad semantics of
+    _stack_bucketed applied to an already-built container (lets
+    auto_percent_load degrade a model without re-reading the checkpoint;
+    the reference can only choose percentLoad before loading,
+    loader.swift:50).
+
+    bucket_size == 1 (row-prefix): drop the TRAILING (least-important,
+    calibration-sorted) row chunks. bucket_size > 1: keep the leading
+    ranks. The dense copy is dropped (it no longer matches)."""
+    import dataclasses
+    if percent_load >= 1.0:
+        return bm
+    if bm.bucket_size == 1 and not bm.rows_sorted:
+        # row-prefix truncation needs importance-sorted rows; an unsorted
+        # matrix (wo) is kept whole rather than silently amputated
+        return bm
+    E, K, G = bm.n_experts, bm.n_ranks, bm.chunk_rows
+    nc = bm.n_chunks
+    zero_v, zero_p = bm.vals[-1:], bm.pos[-1:]
+    # pos may be a placeholder with dummy trailing dims (bucket_size 1
+    # stores no positions); reshape each by its own block shape
+    vals = bm.vals[:-1].reshape((E, K, nc) + bm.vals.shape[1:])
+    pos = bm.pos[:-1].reshape((E, K, nc) + bm.pos.shape[1:])
+    stats, scales = bm.stats, bm.scales
+    probes, probe_dims = bm.probes, bm.probe_dims
+    in_dim, K_new = bm.in_dim, K
+    ov, oi = bm.outlier_vals, bm.outlier_idx
+    if bm.bucket_size == 1:
+        nc_keep = max(1, int(round(percent_load * nc)))
+        vals, pos = vals[:, :, :nc_keep], pos[:, :, :nc_keep]
+        in_dim = nc_keep * G
+        stats = stats[:, :in_dim]
+        scales = scales[:, :in_dim] if scales is not None else None
+        stride = bm.in_dim // probes.shape[1]
+        probes = probes[:, :in_dim // stride]
+        probe_dims = probe_dims[:in_dim // stride]
+        if ov is not None:   # outliers on dropped rows contribute nothing
+            ov = jnp.where(oi[:, :, 0] < in_dim, ov, 0.0)
+    else:
+        K_new = max(1, int(round(percent_load * K)))
+        vals, pos = vals[:, :K_new], pos[:, :K_new]
+        stats = stats[..., :K_new]
+        scales = scales[..., :K_new] if scales is not None else None
+    vals = jnp.concatenate([vals.reshape((-1,) + bm.vals.shape[1:]),
+                            zero_v])
+    pos = jnp.concatenate([pos.reshape((-1,) + bm.pos.shape[1:]), zero_p])
+    return dataclasses.replace(
+        bm, vals=vals, pos=pos, stats=stats, scales=scales, probes=probes,
+        probe_dims=probe_dims, outlier_vals=ov, dense=None,
+        in_dim=in_dim, n_ranks=K_new)
+
+
+def truncate_model(w: ModelWeights, percent_load: float) -> ModelWeights:
+    """Apply truncate_bucketed to every projection container (the
+    runtime realization of autoAdjustPercent, loader.swift:316-339)."""
+    import dataclasses
+    layers = w.layers
+    repl = {f: truncate_bucketed(getattr(layers, f), percent_load)
+            for f in ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                      "wqkv", "w13")
+            if getattr(layers, f) is not None}
+    return dataclasses.replace(
+        w, layers=dataclasses.replace(layers, **repl))
 
 
 def auto_percent_load(cfg: ModelConfig, bcfg: BucketConfig,
@@ -177,22 +248,26 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
     autoAdjustPercent RAM probe."""
     cfg, bcfg = load_config(ckpt_dir)
     with open(os.path.join(ckpt_dir, "config.json")) as f:
-        fused = bool(json.load(f).get("fused", False))
+        _cj = json.load(f)
+    fused = bool(_cj.get("fused", False))
+    calibrated = bool(_cj.get("calibrated", False))
     if auto_adjust and percent_load is None:
         percent_load = auto_percent_load(cfg, bcfg)
     r = MultiShardReader(ckpt_dir, model)
     L, E = cfg.n_layers, cfg.n_experts
 
     def attn(p):
+        # wo's input space (attention output) is never calibration-sorted
         return _stack_bucketed(
             r, [f"layers.{l}.attention.{p}" for l in range(L)],
-            cfg, bcfg, percent_load)
+            cfg, bcfg, percent_load,
+            rows_sorted=calibrated and p != "wo")
 
     def ffn(p):
         return _stack_bucketed(
             r, [f"layers.{l}.feed_forward.experts.{e}.{p}"
                 for l in range(L) for e in range(E)],
-            cfg, bcfg, percent_load)
+            cfg, bcfg, percent_load, rows_sorted=calibrated)
 
     if fused:
         proj = dict(wq=None, wk=None, wv=None, w1=None, w3=None,

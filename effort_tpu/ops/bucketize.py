@@ -227,6 +227,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         n_experts=E,
         dtype_name=cfg.dtype,
         perm_segment=seg,
+        rows_sorted=(in_perm is not None or act_rms is not None),
     )
 
 

@@ -39,7 +39,8 @@ import numpy as np
         "outlier_vals", "outlier_idx", "dense", "seg_order",
     ],
     meta_fields=["in_dim", "out_dim", "bucket_size", "chunk_rows",
-                 "n_ranks", "n_experts", "dtype_name", "perm_segment"],
+                 "n_ranks", "n_experts", "dtype_name", "perm_segment",
+                 "rows_sorted"],
 )
 @dataclasses.dataclass
 class BucketedMatrix:
@@ -91,6 +92,12 @@ class BucketedMatrix:
     n_experts: int
     dtype_name: str
     perm_segment: int = 1
+    # input rows are in calibrated importance order (in_perm/act_rms was
+    # applied at bucketize time). Required for row-prefix (bucket_size 1)
+    # truncated loading: dropping trailing rows of an UNSORTED matrix
+    # (e.g. wo, whose input is the head-structured attention output)
+    # amputates arbitrary structure instead of least-important rows.
+    rows_sorted: bool = False
 
     @property
     def n_buckets(self) -> int:

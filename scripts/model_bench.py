@@ -6,7 +6,7 @@ per-token time via the two-length slope of the jitted decode scan
 runNetwork.swift:299-303).
 
 Usage: model_bench.py [n_layers] [dtype] [efforts_csv] [bucket_size]
-       [calibrate 0|1] [fuse 0|1] [qhead 0|1]
+       [calibrate 0|1] [fuse 0|1] [qhead 0|1] [percent_load]
 """
 
 import sys
@@ -32,6 +32,7 @@ def main():
     calibrate = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     fuse = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
     qhead = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
+    pload = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
     cfg = mistral_7b(n_layers=L, max_seq_len=256)
     bcfg = BucketConfig(bucket_size=B, chunk_rows=16 if B > 1 else 128,
                         dtype=dtype)
@@ -42,9 +43,13 @@ def main():
     if qhead:
         from effort_tpu.models.transformer import quantize_head
         w = quantize_head(w)
+    if pload < 1.0:
+        from effort_tpu.models.weights import truncate_model
+        w = truncate_model(w, pload)
     jax.block_until_ready(w.layers.any_w1.vals)
     print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype} B={B} "
-          f"calibrate={calibrate} fuse={fuse} qhead={qhead}", flush=True)
+          f"calibrate={calibrate} fuse={fuse} qhead={qhead} "
+          f"pload={pload}", flush=True)
 
     def decode(w, tok0, n, effort, impl):
         k_cache, v_cache = make_kv_cache(cfg)

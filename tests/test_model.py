@@ -190,3 +190,26 @@ def test_quantized_head_engine(tiny):
     rb = eng_b.generate([1, 5, 9], n_new=6, effort=0.5)
     rq = eng_q.generate([1, 5, 9], n_new=6, effort=0.5)
     assert rb.token_ids == rq.token_ids
+
+
+def test_truncate_model_in_memory():
+    """In-memory truncated loading (truncate_model): row-prefix layout
+    drops trailing calibrated rows; wo (unsorted attention-output input
+    space) must be kept whole — truncating it amputates heads (cos
+    collapses to ~0.04; regression guard)."""
+    from effort_tpu.models.weights import truncate_model
+    cfg = tiny_test_model()
+    w = init_random_weights(cfg, BucketConfig(bucket_size=1, chunk_rows=8),
+                            seed=0, calibrate=True, fuse=True)
+    wt = truncate_model(w, 0.75)
+    assert wt.layers.wqkv.in_dim < w.layers.wqkv.in_dim
+    assert wt.layers.wo.in_dim == w.layers.wo.in_dim   # unsorted: kept
+
+    def logits(wx):
+        kc, vc = make_kv_cache(cfg)
+        lg, _, _ = forward_token(wx, cfg, jnp.int32(3), jnp.int32(0),
+                                 kc, vc, effort=0.5, impl="jnp")
+        return np.asarray(lg)
+    lf, lt = logits(w), logits(wt)
+    cos = lf @ lt / (np.linalg.norm(lf) * np.linalg.norm(lt) + 1e-30)
+    assert cos > 0.99, cos
