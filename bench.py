@@ -137,10 +137,12 @@ def main():
             "rank_prefix_us": round(t_rank * 1e6, 1),
             "rank_prefix_x": round(t_dense / t_rank, 3),
             "rank_prefix_cos": round(cos4, 4),
-            "model_level": "scripts/model_bench.py: 4L bf16 @e0.25 "
-                           "2.14x dense (773 tok/s); 32L (full Mistral-7B "
-                           "depth) int8 202 tok/s @e0.25, 95.6 @e1.0; "
-                           "16L bf16 123 tok/s 32L-equiv @e0.25 (v5e-1)",
+            "model_level": "scripts/model_bench.py (fused q|k|v + w1|w3, "
+                           "int8 LM head): 4L bf16 @e0.25 2.27x dense "
+                           "(876 tok/s); 32L (full Mistral-7B depth) int8 "
+                           "@ percent_load 11/16: 284 tok/s @e0.25, 161 "
+                           "@e0.5, 125 @e1.0; 24L int8 full load 277 "
+                           "tok/s @e0.25 (v5e-1)",
             "activations": "synthetic persistent-outlier (lognormal rms)",
             "config": {"effort": EFFORT, "alpha": ALPHA,
                        "kernel": "fused mxu row-prefix B=1 / "

@@ -650,12 +650,18 @@ def _concat_raw(entries):
 
 def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
                      keep_dense: bool = False, rms_m=None, rms_f=None,
-                     bake: bool = True, fuse: bool = False) -> ModelWeights:
+                     bake: bool = True, fuse: bool = False,
+                     percent_load: float = 1.0) -> ModelWeights:
     """Bucketize raw dense tensors into ModelWeights.
 
     fuse=True builds FUSED q|k|v and w1|w3 projections (one effort kernel
     launch + one shared selection each) and leaves the unfused fields
     None — the decode fast path; see LayerWeights.wqkv.
+
+    percent_load < 1 applies truncated loading PER CHUNK during assembly
+    (weights.truncate_bucketed), so the full-size model is never resident
+    — required to build a truncated model whose full size exceeds HBM
+    (the whole point of the reference's percentLoad, loader.swift:50).
 
     With rms calibration and bake=True, the WHOLE-MODEL RELAYOUT pass
     runs: the residual space is permuted once (pi_m, descending rms) and
@@ -693,11 +699,15 @@ def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
         for s in range(0, n_inst, chunk):
             wt_c = maker(s, min(chunk, n_inst - s))
             if bake:
-                parts.append(bucketize(wt_c, b, keep_dense=keep_dense,
-                                       in_perm=in_pi, out_perm=out_pi))
+                p = bucketize(wt_c, b, keep_dense=keep_dense,
+                              in_perm=in_pi, out_perm=out_pi)
             else:
-                parts.append(bucketize(wt_c, b, keep_dense=keep_dense,
-                                       act_rms=in_rms, perm_segment=1))
+                p = bucketize(wt_c, b, keep_dense=keep_dense,
+                              act_rms=in_rms, perm_segment=1)
+            if percent_load < 1.0:
+                from effort_tpu.models.weights import truncate_bucketed
+                p = truncate_bucketed(p, percent_load)
+            parts.append(p)
         return concat_bucketed(parts)
 
     out_head = raw["output"]
@@ -754,7 +764,8 @@ def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
                         seed: int = 0, keep_dense: bool = False,
                         scale: float = 0.02, calibrate: bool = False,
                         rms_sigma: float = 1.2,
-                        fuse: bool = False) -> ModelWeights:
+                        fuse: bool = False,
+                        percent_load: float = 1.0) -> ModelWeights:
     """Random-weight model (no public checkpoints ship with this repo);
     used by tests and synthetic benchmarks.
 
@@ -775,4 +786,5 @@ def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
     raw = synth_raw_weights(cfg, seed=seed, scale=scale, rms_m=rms_m,
                             rms_f=rms_f, lazy=True)
     return assemble_weights(raw, cfg, bcfg, keep_dense=keep_dense,
-                            rms_m=rms_m, rms_f=rms_f, fuse=fuse)
+                            rms_m=rms_m, rms_f=rms_f, fuse=fuse,
+                            percent_load=percent_load)

@@ -38,14 +38,14 @@ def main():
                         dtype=dtype)
     t0 = time.time()
     keep_dense = dtype == "bf16" and L <= 8   # dense copies blow HBM at depth
+    # percent_load applies DURING assembly: the full-size model is never
+    # resident (a 32L int8 model does not fit this device's free HBM)
     w = init_random_weights(cfg, bcfg, seed=0, keep_dense=keep_dense,
-                            calibrate=calibrate, fuse=fuse)
+                            calibrate=calibrate, fuse=fuse,
+                            percent_load=pload)
     if qhead:
         from effort_tpu.models.transformer import quantize_head
         w = quantize_head(w)
-    if pload < 1.0:
-        from effort_tpu.models.weights import truncate_model
-        w = truncate_model(w, pload)
     jax.block_until_ready(w.layers.any_w1.vals)
     print(f"init {time.time()-t0:.0f}s; L={L} dtype={dtype} B={B} "
           f"calibrate={calibrate} fuse={fuse} qhead={qhead} "

@@ -4,7 +4,8 @@ batch B with per-slot efforts, via a jitted scan of forward_token_batch
 sandbox tunnel adds ~29 ms/roundtrip that production serving would not
 see).
 
-Usage: serve_bench.py [B] [n_layers] [dtype] [efforts_csv]
+Usage: serve_bench.py [B] [n_layers] [dtype] [efforts_csv] [fuse 0|1]
+       [qhead 0|1]
 """
 
 import sys
@@ -27,13 +28,18 @@ def main():
     effs = ([float(x) for x in sys.argv[4].split(",")]
             if len(sys.argv) > 4 else [0.25] * B)
     effs = (effs * B)[:B]
+    fuse = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    qhead = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
     cfg = mistral_7b(n_layers=L, max_seq_len=256)
     bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype=dtype)
     t0 = time.time()
-    w = init_random_weights(cfg, bcfg, seed=0, calibrate=True)
+    w = init_random_weights(cfg, bcfg, seed=0, calibrate=True, fuse=fuse)
+    if qhead:
+        from effort_tpu.models.transformer import quantize_head
+        w = quantize_head(w)
     jax.block_until_ready(w.layers.any_w1.vals)
     print(f"init {time.time()-t0:.0f}s; B={B} L={L} dtype={dtype} "
-          f"efforts={effs}", flush=True)
+          f"efforts={effs} fuse={fuse} qhead={qhead}", flush=True)
 
     KV, D, S = cfg.n_kv_heads, cfg.head_dim, cfg.max_seq_len
     efforts = jnp.asarray(effs, jnp.float32)
