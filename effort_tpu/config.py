@@ -45,7 +45,14 @@ class BucketConfig:
     probes: int = 4096
     dtype: str = "bf16"
     percent_load: float = 1.0
-    outlier_frac: float = 0.02  # int4 only: top-|w| fraction kept exactly
+    # int4 only: top-|w| fraction kept as an exact fp32 table (the
+    # reference's calcOutliers design, bucketMulQ4.metal:13-21). Default
+    # OFF on TPU: the table's scatter-add costs milliseconds per matvec
+    # and quantile-CLIPPED scales (clip_quantile) match its quality for
+    # free (measured: clip 0.9935 vs absmax+0.5%-table 0.9933 cos at
+    # effort=1 on w1-class weights).
+    outlier_frac: float = 0.0
+    clip_quantile: float = 0.99  # int4 scale rule: s = q-quantile(|w|)/7
 
     def __post_init__(self):
         # bucket_size 1 = row-prefix (MXU) layout: whole input rows are

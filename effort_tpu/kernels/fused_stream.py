@@ -264,31 +264,48 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
             dma(jnp.int32(s), s).start()
 
     if vpacked:
-        lane_v = jax.lax.broadcasted_iota(jnp.int32, (G, OBv), 1)
-        shift4 = (lane_v // (OBv // 2)) * 4
+        # int4 decode in COLUMN BLOCKS: widening a full 28672-wide tile
+        # to int32 materializes ~15 MB of temporaries and spills VMEM
+        # (measured 200x slowdown); per-block temporaries stay ~1 MB.
+        # Packed layout (pack_positions): byte jb holds elements jb
+        # (shift 0) and OBp+jb (shift 4), so packed block c decodes to
+        # output columns [c*CBp, c*CBp+CBp) and [OBp+c*CBp, ...).
+        OBp_ = vscr.shape[3]
+        CBp = _col_block(OBp_, G)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, 2 * CBp), 1)
+        shift_b = (lane_b // CBp) * 4
+
+    def mxu_row(uj, wj):
+        # 8 replicated rows through the MXU (it is idle-rich here);
+        # row 0 is the result
+        return jax.lax.dot_general(
+            uj, wj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0:1]
 
     def body(t, _):
         slot = jax.lax.rem(t, S)
         dma(t, slot).wait()
-        acc = jnp.zeros_like(out_ref[...])                  # [1, OB]
         for j in range(TGB):
             uj = uscr[t * TGB + j]                          # [8, G] bf16
             if vpacked:
-                pv = pltpu.repeat(vscr[slot][j].astype(jnp.int32), 2,
-                                  axis=1)
-                wj = (((pv >> shift4) & 15) - 8)[:, :OB] \
-                    .astype(jnp.bfloat16)
+                pj = vscr[slot][j]                          # [G, OBp] u8
+                for c in range(OBp_ // CBp):
+                    pvb = pltpu.repeat(
+                        pj[:, c * CBp:(c + 1) * CBp].astype(jnp.int32),
+                        2, axis=1)                          # [G, 2*CBp]
+                    wb = (((pvb >> shift_b) & 15) - 8).astype(jnp.bfloat16)
+                    d = mxu_row(uj, wb)                     # [1, 2*CBp]
+                    lo = c * CBp
+                    out_ref[:, lo:lo + CBp] += d[:, :CBp]
+                    hi2 = min(CBp, OB - (OBp_ + lo))
+                    if hi2 > 0:
+                        out_ref[:, OBp_ + lo:OBp_ + lo + hi2] += \
+                            d[:, CBp:CBp + hi2]
             else:
                 wj = vscr[slot][j]                          # [G, OB]
                 if wj.dtype != jnp.bfloat16:
                     wj = wj.astype(jnp.bfloat16)
-            # 8 replicated rows through the MXU (it is idle-rich here);
-            # row 0 is the result
-            d = jax.lax.dot_general(
-                uj, wj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [8, OB]
-            acc = acc + d[0:1, :]
-        out_ref[...] += acc
+                out_ref[...] += mxu_row(uj, wj)
 
         @pl.when(t + S < total)
         def _():
@@ -296,6 +313,17 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
         return 0
 
     jax.lax.fori_loop(0, total, body, 0)
+
+
+def _col_block(obp: int, g: int) -> int:
+    """Packed-column block size: the int32-widened decode block
+    [g, 2*CBp] must stay ~<=2 MB or Mosaic spills it to HBM (measured
+    200x slowdown at full width)."""
+    cap = max(128, (2**21 // (8 * g)) // 128 * 128)
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= cap and obp % cand == 0:
+            return cand
+    return min(obp, cap)
 
 
 @functools.lru_cache(maxsize=None)
@@ -369,28 +397,42 @@ def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
             dma(jnp.int32(s), s).start()
 
     if vpacked:
-        lane_v = jax.lax.broadcasted_iota(jnp.int32, (G, OBv), 1)
-        shift4 = (lane_v // (OBv // 2)) * 4
+        # column-block int4 decode (see _kernel_mxu: full-width int32
+        # widening spills VMEM)
+        OBp_ = vscr.shape[3]
+        CBp = _col_block(OBp_, G)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, 2 * CBp), 1)
+        shift_b = (lane_b // CBp) * 4
 
     def body(t, _):
         slot = jax.lax.rem(t, S)
         dma(t, slot).wait()
-        acc = jnp.zeros_like(out_ref[...])                  # [T, OB]
         for j in range(TGB):
             uj = uscr[t * TGB + j]                          # [T, G] bf16
+
+            def dot(wj):
+                return jax.lax.dot_general(
+                    uj, wj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [T, *]
             if vpacked:
-                pv = pltpu.repeat(vscr[slot][j].astype(jnp.int32), 2,
-                                  axis=1)
-                wj = (((pv >> shift4) & 15) - 8)[:, :OB] \
-                    .astype(jnp.bfloat16)
+                pj = vscr[slot][j]                          # [G, OBp] u8
+                for c in range(OBp_ // CBp):
+                    pvb = pltpu.repeat(
+                        pj[:, c * CBp:(c + 1) * CBp].astype(jnp.int32),
+                        2, axis=1)
+                    wb = (((pvb >> shift_b) & 15) - 8).astype(jnp.bfloat16)
+                    d = dot(wb)                             # [T, 2*CBp]
+                    lo = c * CBp
+                    out_ref[:, lo:lo + CBp] += d[:, :CBp]
+                    hi2 = min(CBp, OB - (OBp_ + lo))
+                    if hi2 > 0:
+                        out_ref[:, OBp_ + lo:OBp_ + lo + hi2] += \
+                            d[:, CBp:CBp + hi2]
             else:
                 wj = vscr[slot][j]                          # [G, OB]
                 if wj.dtype != jnp.bfloat16:
                     wj = wj.astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                uj, wj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [T, OB]
-        out_ref[...] += acc
+                out_ref[...] += dot(wj)
 
         @pl.when(t + S < total)
         def _():
@@ -501,12 +543,11 @@ def _vmem_limit(bm: BucketedMatrix, tile_blocks: int, slots: int) -> int:
 
     Decode temporaries scale with dtype: bf16 tiles are read once for
     the MXU dot (one tile-sized copy); int8 adds a bf16 cast (2x); the
-    packed-int4 path materializes int32-widened repeat+shift stages
-    (~10x the packed tile bytes)."""
+    packed-int4 path decodes in ~1 MB column blocks (_col_block)."""
     tile = _tile_bytes(bm, tile_blocks)
     factor = {2: 1, 1: 2}.get(bm.vals.dtype.itemsize, 2)
     if bm.vals_packed:
-        factor = 10
+        factor = 3
     ring = slots * tile + factor * (tile // tile_blocks + 1)
     return min(int(100 * 2**20), ring + 8 * 2**20)
 

@@ -137,10 +137,15 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
     nb = out_dim // B
 
     outlier_vals = outlier_idx = None
-    if cfg.dtype == "int4":
-        # Extract top-|w| outliers and ZERO them in the source before
-        # bucketing (q4_draft.py:70-108); they are added back exactly in
+    wt_full = wt
+    if cfg.dtype == "int4" and cfg.outlier_frac > 0:
+        # OPTIONAL: extract top-|w| outliers and ZERO them in the source
+        # before bucketing (q4_draft.py:70-108); added back exactly in
         # fp32 at multiply time (calcOutliers, bucketMulQ4.metal:13-21).
+        # Default OFF: clipped scales below match the quality without the
+        # table's multi-ms scatter (see BucketConfig.outlier_frac).
+        # wt_full keeps the pre-extraction matrix: the dense copy (the
+        # reference's "core") and the probes must include the outliers.
         wt, outlier_vals, outlier_idx = _extract_outliers(wt, cfg.outlier_frac)
 
     vals_l, pos_l, stats_l = [], [], []
@@ -164,11 +169,15 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         qvals = jnp.clip(jnp.round(vals / scales[..., None]), -127, 127
                          ).astype(jnp.int8)
     elif cfg.dtype == "int4":
-        # Outliers already removed above; per-bucket-row symmetric 4-bit,
-        # packed two-per-byte below (nibble = q + 8, same split-halves
-        # byte layout as the position packing so kernels share the
-        # unpack pattern).
-        scales = jnp.maximum(jnp.max(jnp.abs(vals), axis=3), 1e-30) / 7.0
+        # Per-bucket-row symmetric 4-bit with quantile-CLIPPED scales
+        # (s = clip_quantile(|w|)/7; the top tail saturates to +-7s) —
+        # smaller error for the bulk beats exactness of the extremes at
+        # 4 bits. Packed two-per-byte below (nibble = q + 8, same
+        # split-halves byte layout as the position packing so kernels
+        # share the unpack pattern).
+        absv = jnp.abs(vals)
+        scales = jnp.quantile(absv, cfg.clip_quantile, axis=3) / 7.0
+        scales = jnp.maximum(scales, 1e-30)
         qvals = jnp.clip(jnp.round(vals / scales[..., None]), -7, 7
                          ).astype(jnp.int8)
     else:
@@ -206,7 +215,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
     pblocks = jnp.concatenate([pblocks, jnp.zeros_like(pblocks[:1])])
 
     pidx = probe_sample_indices(in_dim, out_dim, cfg.probes)
-    probes = wt[:, pidx[:, 0], pidx[:, 1]].astype(jnp.float32)  # [E, P]
+    probes = wt_full[:, pidx[:, 0], pidx[:, 1]].astype(jnp.float32)  # [E, P]
 
     return BucketedMatrix(
         vals=vblocks,
@@ -217,7 +226,7 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
         scales=scales,
         outlier_vals=outlier_vals,
         outlier_idx=outlier_idx,
-        dense=wt.astype(jnp.bfloat16) if keep_dense else None,
+        dense=wt_full.astype(jnp.bfloat16) if keep_dense else None,
         seg_order=seg_order,
         in_dim=in_dim,
         out_dim=out_dim,
@@ -232,16 +241,23 @@ def bucketize(wt, cfg: BucketConfig, keep_dense: bool = False,
 
 
 def _extract_outliers(wt, outlier_frac: float):
-    """Pull the top-|w| fraction out for exact fp32 handling; zero in wt."""
+    """Pull the top-|w| fraction out for exact fp32 handling; zero in wt.
+
+    The table is stored sorted by OUTPUT column so the runtime
+    scatter-add can pass indices_are_sorted (a fraction of the cost of
+    an unsorted scatter on TPU)."""
     E, in_dim, out_dim = wt.shape
     n_out = max(1, int(in_dim * out_dim * outlier_frac))
     wt_clean, ov_l, oi_l = [], [], []
     for e in range(E):
         flat = wt[e].reshape(-1).astype(jnp.float32)
         _, top = jax.lax.top_k(jnp.abs(flat), n_out)
+        top = jnp.sort(top)          # flat index order == output-col major
         rows, cols = top // out_dim, top % out_dim
-        ov_l.append(flat[top])
-        oi_l.append(jnp.stack([rows, cols], axis=1).astype(jnp.int32))
+        order = jnp.argsort(cols, stable=True)
+        ov_l.append(flat[top][order])
+        oi_l.append(jnp.stack([rows[order], cols[order]],
+                              axis=1).astype(jnp.int32))
         wt_clean.append(flat.at[top].set(0.0).reshape(in_dim, out_dim))
     return jnp.stack(wt_clean), jnp.stack(ov_l), jnp.stack(oi_l)
 

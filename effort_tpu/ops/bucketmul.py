@@ -73,7 +73,8 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     if bm.outlier_vals is not None:
         ov = bm.outlier_vals[expert]
         oi = bm.outlier_idx[expert]
-        y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]])
+        y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]],
+                              indices_are_sorted=True)
     return y
 
 
@@ -157,7 +158,8 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort,
             e = jnp.asarray(expert, jnp.int32)
             vp = bm.permute_v(v, e)
             ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
-            y = y.at[oi[:, 1]].add(ov * vp[oi[:, 0]])
+            y = y.at[oi[:, 1]].add(ov * vp[oi[:, 0]],
+                              indices_are_sorted=True)
         return y
     raise ValueError(impl)
 

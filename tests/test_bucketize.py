@@ -50,7 +50,14 @@ def test_reconstruct_dense_roundtrip(rng, dtype):
     bm = bucketize(wt, cfg)
     dense = np.asarray(bm.reconstruct_dense())
     tol = {"bf16": 5e-4, "int8": 8e-4, "int4": 8e-3}[dtype]
-    np.testing.assert_allclose(dense, wt, atol=tol)
+    if dtype == "int4":
+        # clipped scales: the top (1 - clip_quantile) tail saturates by
+        # design; the bulk must reconstruct within tol
+        err = np.abs(dense - wt)
+        assert np.quantile(err, cfg.clip_quantile - 0.005) <= tol
+        assert err.mean() <= tol
+    else:
+        np.testing.assert_allclose(dense, wt, atol=tol)
 
 
 def test_truncated_loading_drops_tail_ranks(rng):
