@@ -8,6 +8,9 @@ Run modes mirror the reference binary (main.swift:26-35, 94-135):
   bucket      single-matrix quality/speed sweep (goBucketPerformance)
   quiz        QA accuracy across the effort scale (goQuiz)
   agreement   token-prediction agreement sweep (goBenchmarkSimilarity)
+  kl          per-position KL(full||effort) sweep over a text (the
+              distribution-level metric the reference quotes in prose,
+              docs/pesky.html)
 
 Reference-name aliases (main.swift:94-106): playground -> bucket,
 benchmark -> agreement, quickstart -> generate.
@@ -53,7 +56,7 @@ def _build_engine(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="effort-tpu", description=__doc__)
     p.add_argument("mode", choices=["convert", "generate", "repl", "bucket",
-                                    "quiz", "agreement",
+                                    "quiz", "agreement", "kl",
                                     # reference run-mode aliases
                                     "playground", "benchmark", "quickstart"])
     p.add_argument("--ckpt", help="bucketized checkpoint dir")
@@ -144,6 +147,15 @@ def main(argv=None):
                               n_tokens=args.n_tokens)
         for e, s in out.items():
             print(f"effort {e*100:5.1f}%: agreement {s*100:5.1f}%")
+    elif args.mode == "kl":
+        from effort_tpu.eval.harness import kl_divergence_sweep
+        # generate a full-effort continuation, then measure KL over it
+        gen = engine.generate(encode(args.prompt), n_new=args.n_tokens,
+                              effort=1.0)
+        text_ids = encode(args.prompt) + gen.token_ids
+        out = kl_divergence_sweep(engine, text_ids)
+        for e, s in out.items():
+            print(f"effort {e*100:5.1f}%: KL {s:8.4f} nats")
 
 
 def _repl(engine, encode, args):

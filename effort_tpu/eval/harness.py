@@ -71,6 +71,34 @@ def agreement_sweep(engine, prompt_ids: Sequence[int], n_tokens: int = 100,
     return out
 
 
+def log_softmax(logits: np.ndarray) -> np.ndarray:
+    x = np.asarray(logits, np.float64)
+    x = x - x.max(axis=-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+
+def kl_divergence_sweep(engine, prompt_ids: Sequence[int],
+                        efforts: Optional[Sequence[float]] = None
+                        ) -> Dict[float, float]:
+    """Mean per-position KL(P_full || P_effort) in nats over a text.
+
+    The distribution-level quality metric the reference quotes in prose
+    but ships no harness for ("KL divergence tests... okay-ish",
+    docs/pesky.html): argmax agreement (agreement_sweep) only sees the
+    top token; KL sees the whole next-token distribution, so it
+    separates "picked another good token" from "distribution fell
+    apart", and it is the standard scale for comparing effort against
+    quantization at equal speedup."""
+    efforts = list(efforts or effort_scale())
+    ref_lp = log_softmax(engine.position_logits(prompt_ids, effort=1.0))
+    ref_p = np.exp(ref_lp)
+    out = {}
+    for e in efforts:
+        lp = log_softmax(engine.position_logits(prompt_ids, effort=e))
+        out[e] = float((ref_p * (ref_lp - lp)).sum(axis=-1).mean())
+    return out
+
+
 def run_quiz(engine, quiz: List[dict], tokenizer,
              efforts: Optional[Sequence[float]] = None,
              shuffle_seed: int = 0, progress=None) -> Dict[float, float]:

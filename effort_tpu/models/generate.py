@@ -146,6 +146,40 @@ def _prompt_logits_prefill(w: ModelWeights, cfg: ModelConfig, prompt_ids,
     return logits_all[-1], jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
 
 
+def _position_logits_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
+                          prompt_len, effort, impl: str):
+    """Per-position logits over the (padded) prompt — the distribution
+    eval surface (KL-div methodology, reference docs/pesky.html)."""
+    del prompt_len  # padding positions are sliced off host-side
+    P = prompt_ids.shape[0]
+    k_cache, v_cache = make_kv_cache(cfg)
+
+    def step(carry, pos):
+        k_cache, v_cache = carry
+        logits, k_cache, v_cache = forward_token(
+            w, cfg, prompt_ids[pos], pos, k_cache, v_cache,
+            effort=effort, impl=impl)
+        return (k_cache, v_cache), logits
+
+    _, logits = jax.lax.scan(step, (k_cache, v_cache),
+                             jnp.arange(P, dtype=jnp.int32))
+    return logits
+
+
+def _position_logits_prefill(w: ModelWeights, cfg: ModelConfig, prompt_ids,
+                             prompt_len, effort: float, impl: str):
+    """Prefill version of _position_logits_scan (left-pad layout)."""
+    P = prompt_ids.shape[0]
+    offset = P - prompt_len
+    idx = jnp.arange(P, dtype=jnp.int32) - offset
+    ids_lp = jnp.where(idx >= 0, prompt_ids[jnp.clip(idx, 0, P - 1)], 0)
+    k_cache, v_cache = make_kv_cache(cfg)
+    logits_all, _, _ = forward_seq(
+        w, cfg, ids_lp, k_cache, v_cache, start_slot=0, rope_offset=offset,
+        mask_from=offset, effort=effort, impl=impl)
+    return logits_all
+
+
 class Engine:
     """Holds weights + compiled generation functions.
 
@@ -279,6 +313,36 @@ class Engine:
         else:
             preds = preds[:len(prompt_ids)]
         return jax.device_get(logits), [int(p) for p in preds]
+
+    def position_logits(self, prompt_ids: Sequence[int],
+                        effort: float = 1.0):
+        """[len(prompt_ids), vocab] logits at every real prompt position
+        (next-token distribution per position; KL-div eval surface)."""
+        P = max(self.pad_to,
+                -(-len(prompt_ids) // self.pad_to) * self.pad_to)
+        eff_key = "dyn" if self.dynamic_effort else effort
+        key = ("poslogits", P, eff_key, self.prefill)
+        if key not in self._fns:
+            if self.prefill:
+                self._fns[key] = jax.jit(partial(
+                    _position_logits_prefill, cfg=self.cfg, effort=effort,
+                    impl=self.prefill_impl))
+            elif self.dynamic_effort:
+                self._fns[key] = jax.jit(partial(
+                    _position_logits_scan, cfg=self.cfg, impl=self.impl))
+            else:
+                self._fns[key] = jax.jit(partial(
+                    _position_logits_scan, cfg=self.cfg, effort=effort,
+                    impl=self.impl))
+        padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
+        kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
+        logits = self._fns[key](
+            self.w, prompt_ids=jnp.asarray(padded, jnp.int32),
+            prompt_len=jnp.asarray(len(prompt_ids), jnp.int32), **kw)
+        logits = jax.device_get(logits)
+        if self.prefill:  # left-pad layout: real positions at the tail
+            return logits[P - len(prompt_ids):]
+        return logits[:len(prompt_ids)]
 
     def answer_limited(self, prompt_ids: Sequence[int],
                        allowed_ids: Sequence[int],

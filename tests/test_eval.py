@@ -10,7 +10,8 @@ from effort_tpu.config import BucketConfig, tiny_test_model
 from effort_tpu.models.transformer import init_random_weights
 from effort_tpu.models.generate import Engine
 from effort_tpu.eval.harness import (matrix_quality_sweep, agreement_sweep,
-                                     run_quiz, effort_scale, load_quiz)
+                                     run_quiz, effort_scale, load_quiz,
+                                     kl_divergence_sweep, log_softmax)
 
 QUIZ = os.path.join(os.path.dirname(__file__), "..", "effort_tpu", "eval",
                     "data", "quiz.json")
@@ -53,6 +54,28 @@ def test_quiz_data_wellformed():
         assert len(quiz) >= 30
         for item in quiz:
             assert 0 <= item["correct"] < len(item["answers"])
+
+
+def test_log_softmax_normalizes(rng):
+    lp = log_softmax(rng.standard_normal((5, 32)) * 3)
+    np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, atol=1e-12)
+
+
+def test_kl_divergence_sweep(engine):
+    out = kl_divergence_sweep(engine, [1, 5, 9, 2, 7],
+                              efforts=[1.0, 0.5, 0.2])
+    assert abs(out[1.0]) < 1e-9          # identical distributions
+    assert out[0.5] >= -1e-12 and out[0.2] >= -1e-12
+    assert out[0.2] >= out[0.5] - 1e-9   # lower effort, larger KL
+
+
+def test_position_logits_matches_prompt_logits(engine):
+    ids = [1, 5, 9, 2]
+    pl = engine.position_logits(ids, effort=0.6)
+    last, preds = engine.prompt_logits(ids, effort=0.6)
+    assert pl.shape == (len(ids), engine.cfg.vocab_size)
+    np.testing.assert_allclose(pl[-1], last, rtol=1e-5, atol=1e-5)
+    assert [int(np.argmax(row)) for row in pl] == preds
 
 
 class _FakeTok:
