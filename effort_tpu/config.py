@@ -84,6 +84,11 @@ class ModelConfig:
     rope_theta: float = 1e6  # reference: logspace base 1e-6 -> theta 1e6
                              # (model.swift:693-717 createFreqsCis2)
     max_seq_len: int = 2048  # reference maxSeqLen (main.swift:76)
+    # Sliding-window attention width (Mistral-7B: 4096). None = full
+    # causal. The reference ignores SWA entirely — safe only because its
+    # maxSeqLen (2048) never reaches the window; for contexts past the
+    # window, matching the real Mistral checkpoint requires it.
+    sliding_window: Optional[int] = None
     # MoE (Mixtral); n_experts=1 means dense FFN (reference loader.swift:178-227)
     n_experts: int = 1
     n_experts_per_tok: int = 2
@@ -105,7 +110,10 @@ class ModelConfig:
 
 
 def mistral_7b(**kw) -> ModelConfig:
-    return dataclasses.replace(ModelConfig(name="mistral-7b"), **kw)
+    # sliding_window=4096 matches the HF checkpoint config; it only
+    # changes anything when max_seq_len is raised past the window.
+    return dataclasses.replace(
+        ModelConfig(name="mistral-7b", sliding_window=4096), **kw)
 
 
 def llama2_7b(**kw) -> ModelConfig:

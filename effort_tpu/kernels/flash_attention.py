@@ -39,6 +39,7 @@ def _kernel(scale, rep, BQ, BK, scal_ref, q_ref, k_ref, v_ref, o_ref,
     n_k = pl.num_programs(2)
     start_slot = scal_ref[0]
     mask_from = scal_ref[1]
+    window = scal_ref[2]            # 0 = full causal
     R = rep * BQ
 
     @pl.when(ki == 0)
@@ -48,9 +49,12 @@ def _kernel(scale, rep, BQ, BK, scal_ref, q_ref, k_ref, v_ref, o_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     qi = pl.program_id(1)
-    # skip KV blocks entirely in the future of this query block
+    # skip KV blocks entirely in the future of this query block, and
+    # (sliding window) blocks entirely behind every query row's window
     q_max_slot = start_slot + qi * BQ + BQ - 1
+    q_min_slot = start_slot + qi * BQ
     live = (ki * BK) <= q_max_slot
+    live &= (window == 0) | (ki * BK + BK - 1 > q_min_slot - window)
 
     @pl.when(live)
     def _():
@@ -67,6 +71,7 @@ def _kernel(scale, rep, BQ, BK, scal_ref, q_ref, k_ref, v_ref, o_ref,
         k_slots = (ki * BK +
                    jax.lax.broadcasted_iota(jnp.int32, (R, BK), 1))
         mask = (k_slots <= q_slots) & (k_slots >= mask_from)
+        mask &= (window == 0) | (k_slots > q_slots - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[...]                            # [R, 1]
@@ -96,11 +101,12 @@ def _mk(scale, rep, BQ, BK):
 
 def flash_attention(Q: jax.Array, K: jax.Array, V: jax.Array,
                     start_slot, mask_from=0, block_q: int = 256,
-                    block_k: int = 512, interpret: bool = False
-                    ) -> jax.Array:
+                    block_k: int = 512, window: int = 0,
+                    interpret: bool = False) -> jax.Array:
     """Q [KV, rep, T, D] (bf16 recommended); K, V [KV, S, D].
     Returns [KV, rep, T, D] f32. T % block_q == 0 and S % block_k == 0
-    required (clamped to T/S when smaller)."""
+    required (clamped to T/S when smaller). window > 0 limits each query
+    to the last `window` slots (sliding-window attention)."""
     KV, rep, T, D = Q.shape
     S = K.shape[1]
     BQ = min(block_q, T)
@@ -108,7 +114,8 @@ def flash_attention(Q: jax.Array, K: jax.Array, V: jax.Array,
     assert T % BQ == 0 and S % BK == 0, (T, BQ, S, BK)
     scale = float(D) ** -0.5
 
-    scal = jnp.asarray([start_slot, mask_from], jnp.int32).reshape(2)
+    scal = jnp.asarray([start_slot, mask_from, window],
+                       jnp.int32).reshape(3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -145,6 +152,7 @@ def flash_attention_seq(Q2: jax.Array, k_cache: jax.Array,
                         v_cache: jax.Array, start_slot, mask_from,
                         n_heads: int, head_dim: int,
                         block_q: int = 256, block_k: int = 512,
+                        window: int = 0,
                         interpret: bool = False) -> jax.Array:
     """Adapter matching models.transformer._attention_seq's interface:
     Q2 [T, H*D] (RoPE'd, q head h uses kv head h // rep), caches
@@ -158,5 +166,5 @@ def flash_attention_seq(Q2: jax.Array, k_cache: jax.Array,
     V = v_cache.transpose(1, 0, 2)
     out = flash_attention(Q.astype(jnp.bfloat16), K, V, start_slot,
                           mask_from, block_q=block_q, block_k=block_k,
-                          interpret=interpret)
+                          window=window, interpret=interpret)
     return out.transpose(2, 0, 1, 3).reshape(T, n_heads * head_dim)

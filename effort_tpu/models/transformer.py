@@ -160,6 +160,13 @@ def make_kv_cache(cfg: ModelConfig, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def active_window(cfg: ModelConfig) -> int:
+    """Sliding-window width if it can bind within max_seq_len, else 0
+    (a window wider than the cache never masks anything)."""
+    w = cfg.sliding_window or 0
+    return w if 0 < w < cfg.max_seq_len else 0
+
+
 def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig, mask_from=0):
     """q: [n_heads*head_dim]; caches: [T, n_kv, hd]. Returns [n_heads*hd]."""
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -170,6 +177,8 @@ def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig, mask_from=0):
     scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
     t_ids = jnp.arange(cfg.max_seq_len)
     mask = (t_ids[None, None, :] <= pos) & (t_ids[None, None, :] >= mask_from)
+    if active_window(cfg):
+        mask &= t_ids[None, None, :] > pos - cfg.sliding_window
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("krt,tkd->krd", probs, vf)
@@ -191,8 +200,10 @@ def _attention_seq(Q, k_cache, v_cache, slots, mask_from, cfg: ModelConfig):
     vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("tkrd,skd->tkrs", qh, kf) / jnp.sqrt(float(D))
     s_ids = jnp.arange(cfg.max_seq_len)
-    mask = ((s_ids[None, :] <= slots[:, None]) &
-            (s_ids[None, :] >= mask_from))[:, None, None, :]
+    mask2 = (s_ids[None, :] <= slots[:, None]) & (s_ids[None, :] >= mask_from)
+    if active_window(cfg):
+        mask2 &= s_ids[None, :] > slots[:, None] - cfg.sliding_window
+    mask = mask2[:, None, None, :]
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     # fully-masked rows (pad queries) produce NaN probs; zero them
@@ -547,7 +558,8 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
                 flash_attention_seq
             attn = flash_attention_seq(Q, k_cache[l], v_cache[l],
                                        start_slot, mask_from,
-                                       cfg.n_heads, D)
+                                       cfg.n_heads, D,
+                                       window=active_window(cfg))
         else:
             attn = _attention_seq(Q, k_cache[l], v_cache[l], slots,
                                   mask_from, cfg)

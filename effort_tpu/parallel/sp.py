@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from effort_tpu.config import ModelConfig
-from effort_tpu.models.transformer import ModelWeights, forward_token
+from effort_tpu.models.transformer import (ModelWeights, active_window,
+                                           forward_token)
 
 
 def make_sp_mesh(n_sp: int, devices=None) -> Mesh:
@@ -81,6 +82,8 @@ def _sp_attention(q, k_local, v_local, pos, cfg_local: ModelConfig,
     slots = my * s_loc + jnp.arange(s_loc)
     mask = ((slots[None, None, :] <= pos) &
             (slots[None, None, :] >= mask_from))
+    if active_window(cfg_local):
+        mask &= slots[None, None, :] > pos - cfg_local.sliding_window
     scores = jnp.where(mask, scores, -jnp.inf)
 
     m_loc = jnp.max(scores, axis=-1)                     # [KV, rep]
