@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from effort_tpu.config import ModelConfig
 from effort_tpu.models.transformer import (ModelWeights, forward_seq,
-                                           forward_token, make_kv_cache)
+                                           forward_token, make_kv_cache,
+                                           make_ring_kv_cache,
+                                           ring_kv_hooks)
 
 
 @dataclasses.dataclass
@@ -38,10 +40,18 @@ class Reply:
 
 
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
-                 n_new, effort: float, impl: str, eos_id: int):
-    """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds)."""
+                 n_new, effort: float, impl: str, eos_id: int,
+                 ring: bool = False):
+    """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
+    ring=True decodes over an O(sliding_window) rolling KV cache —
+    sequence length is then unbounded by max_seq_len."""
     P = prompt_ids.shape[0]
-    k_cache, v_cache = make_kv_cache(cfg)
+    if ring:
+        k_cache, v_cache = make_ring_kv_cache(cfg)
+        kv_up, attn = ring_kv_hooks(cfg)
+    else:
+        k_cache, v_cache = make_kv_cache(cfg)
+        kv_up = attn = None
     total = P + n_new
 
     ids0 = jnp.concatenate(
@@ -51,7 +61,8 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
         ids, k_cache, v_cache, done = carry
         tok = ids[pos]
         logits, k_cache, v_cache = forward_token(
-            w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl)
+            w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
+            kv_update_fn=kv_up, attn_fn=attn)
         pred = jnp.argmax(logits).astype(jnp.int32)
         is_gen = pos >= prompt_len - 1          # generating from here on
         next_pos = pos + 1
@@ -195,7 +206,8 @@ class Engine:
                  tokenizer=None, impl: str = "auto", eos_id: int = 2,
                  pad_to: int = 32, prefill: bool = False,
                  prefill_impl: str = "auto",
-                 dynamic_effort: bool = False):
+                 dynamic_effort: bool = False,
+                 ring_kv: bool = False):
         """dynamic_effort=True traces effort as a runtime argument: ONE
         compiled executable serves every effort value (the reference's
         instant effort knob, main.swift:110-135). Requires a layout whose
@@ -211,8 +223,13 @@ class Engine:
         self.prefill = prefill
         self.prefill_impl = prefill_impl
         self.dynamic_effort = dynamic_effort
+        self.ring_kv = ring_kv
         assert not (dynamic_effort and prefill), \
             "dynamic_effort works with the decode-scan engine"
+        assert not (ring_kv and prefill), \
+            "ring_kv works with the decode-scan engine"
+        assert not ring_kv or cfg.sliding_window, \
+            "ring_kv requires cfg.sliding_window"
         self._fns = {}
 
     def _eff(self, effort: float):
@@ -231,18 +248,19 @@ class Engine:
             elif self.dynamic_effort:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
-                    impl=self.impl, eos_id=self.eos_id))
+                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                    impl=self.impl, eos_id=self.eos_id))
+                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
                  effort: float = 1.0) -> Reply:
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
-        assert P + n_new <= self.cfg.max_seq_len, "sequence too long"
+        assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
+            "sequence too long (use ring_kv for unbounded decode)"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._fn(P, n_new, effort)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})

@@ -160,6 +160,54 @@ def make_kv_cache(cfg: ModelConfig, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def make_ring_kv_cache(cfg: ModelConfig, dtype=jnp.bfloat16):
+    """O(sliding_window) KV cache for the ring hooks below: slots hold
+    the last `sliding_window` positions only, so decode length is
+    unbounded (max_seq_len only sizes prompt buffers)."""
+    assert cfg.sliding_window, "ring KV cache requires cfg.sliding_window"
+    shape = (cfg.n_layers, cfg.sliding_window, cfg.n_kv_heads,
+             cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def ring_kv_hooks(cfg: ModelConfig):
+    """(kv_update_fn, attn_fn) implementing a rolling KV cache for
+    sliding-window decode: the new row lands at slot pos % window,
+    overwriting the row that just left the window. Softmax is
+    permutation-invariant over cache slots, so the ring never needs
+    unrotating — once pos >= window every slot is live; before that,
+    slots > pos are masked. Memory is O(window) instead of O(seq);
+    with the full-cache path a 32k-token chat at window 4096 would
+    hold 8x more KV than it can ever attend to."""
+    W = cfg.sliding_window
+    assert W, "ring KV hooks require cfg.sliding_window"
+
+    def upd(k_cache, v_cache, l, pos, k, v):
+        slot = pos % W
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype)[None, None],
+            (l, slot, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype)[None, None],
+            (l, slot, 0, 0))
+        return k_cache, v_cache
+
+    def attn(q, k_l, v_l, pos):
+        KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
+        qh = q.reshape(KV, rep, D).astype(jnp.float32)
+        kf = k_l.astype(jnp.float32)
+        vf = v_l.astype(jnp.float32)
+        scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
+        t_ids = jnp.arange(W)
+        live = (t_ids[None, None, :] <= pos) | (pos >= W)
+        scores = jnp.where(live, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("krt,tkd->krd", probs, vf)
+        return out.reshape(cfg.n_heads * D)
+
+    return upd, attn
+
+
 def active_window(cfg: ModelConfig) -> int:
     """Sliding-window width if it can bind within max_seq_len, else 0
     (a window wider than the cache never masks anything)."""

@@ -149,6 +149,46 @@ def test_sp_decode_with_window_matches_single_device():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_ring_kv_matches_full_cache():
+    """Rolling O(window) cache decode == full-cache windowed decode."""
+    from effort_tpu.models.transformer import (make_ring_kv_cache,
+                                               ring_kv_hooks)
+    cfg = tiny_test_model(max_seq_len=24, sliding_window=6)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+    ids = jnp.asarray((np.arange(20) * 5 + 2) % cfg.vocab_size, jnp.int32)
+
+    kc, vc = make_kv_cache(cfg)
+    kr, vr = make_ring_kv_cache(cfg)
+    assert kr.shape[1] == cfg.sliding_window       # O(window) memory
+    kv_up, attn = ring_kv_hooks(cfg)
+    for pos in range(len(ids)):
+        p = jnp.asarray(pos, jnp.int32)
+        lg, kc, vc = forward_token(w, cfg, ids[pos], p, kc, vc,
+                                   effort=1.0, impl="jnp")
+        lr, kr, vr = forward_token(w, cfg, ids[pos], p, kr, vr,
+                                   effort=1.0, impl="jnp",
+                                   kv_update_fn=kv_up, attn_fn=attn)
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lg),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_engine_ring_kv_unbounded_decode():
+    """ring_kv decodes PAST max_seq_len; tokens match an engine whose
+    full cache is big enough to hold the whole sequence."""
+    from effort_tpu.models.generate import Engine
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    cfg_small = tiny_test_model(max_seq_len=16, sliding_window=8)
+    cfg_big = tiny_test_model(max_seq_len=64, sliding_window=8)
+    w = init_random_weights(cfg_small, bcfg, seed=3)
+    prompt = [1, 5, 9, 2]
+    n_new = 24                                 # 4 + 24 > max_seq_len=16
+    ring = Engine(w, cfg_small, impl="jnp", pad_to=8, ring_kv=True)
+    full = Engine(w, cfg_big, impl="jnp", pad_to=8)
+    r_ring = ring.generate(prompt, n_new=n_new, effort=1.0)
+    r_full = full.generate(prompt, n_new=n_new, effort=1.0)
+    assert r_ring.token_ids == r_full.token_ids
+
+
 def test_mistral_config_has_window():
     assert mistral_7b().sliding_window == 4096
     # round-trips through JSON (checkpoint config.json)
