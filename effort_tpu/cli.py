@@ -63,8 +63,10 @@ def main(argv=None):
     p.add_argument("--src", help="HF checkpoint dir (convert)")
     p.add_argument("--dst", help="output dir (convert)")
     p.add_argument("--model", default="mistral-7b",
-                   choices=["mistral-7b", "mixtral-8x7b", "llama2-7b",
-                            "tiny"])
+                   choices=["auto", "mistral-7b", "mixtral-8x7b",
+                            "llama2-7b", "tiny"],
+                   help="'auto' (convert only) reads the architecture "
+                        "from the HF checkpoint's config.json")
     p.add_argument("--synthetic", nargs="?", const="tiny",
                    choices=["tiny", "mistral-7b"],
                    help="use random weights (tiny|mistral-7b)")
@@ -97,11 +99,15 @@ def main(argv=None):
     if args.mode == "convert":
         from effort_tpu.config import (BucketConfig, llama2_7b, mistral_7b,
                                        mixtral_8x7b, tiny_test_model)
-        from effort_tpu.convert.convert import convert_checkpoint
-        cfg = {"mistral-7b": mistral_7b(),
-               "mixtral-8x7b": mixtral_8x7b(),
-               "llama2-7b": llama2_7b(),
-               "tiny": tiny_test_model()}[args.model]
+        from effort_tpu.convert.convert import (config_from_hf,
+                                                convert_checkpoint)
+        if args.model == "auto":
+            cfg = config_from_hf(args.src)
+        else:
+            cfg = {"mistral-7b": mistral_7b(),
+                   "mixtral-8x7b": mixtral_8x7b(),
+                   "llama2-7b": llama2_7b(),
+                   "tiny": tiny_test_model()}[args.model]
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)
         convert_checkpoint(args.src, args.dst, cfg, bcfg, calib=args.calib,

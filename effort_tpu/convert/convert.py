@@ -62,6 +62,44 @@ HF_NAME_MAPS = {
 }
 
 
+def config_from_hf(src_dir: str,
+                   max_seq_len: Optional[int] = None) -> ModelConfig:
+    """Build a ModelConfig from the HF checkpoint's own config.json.
+
+    The reference hard-codes every architecture constant in main.swift
+    and its Metal #defines (stateDim/hiddenDim/numHeads/headDim,
+    main.swift:45-77, aux.metal:11-13); HF checkpoints carry all of
+    them, so `convert --model auto` just reads the source of truth.
+
+    max_seq_len: KV caches are preallocated to this, so the HF
+    max_position_embeddings (32768 for Mistral) is capped at 4096 by
+    default; pass an explicit value for longer contexts (or use
+    Engine(ring_kv=True), which is unbounded regardless).
+    """
+    with open(os.path.join(src_dir, "config.json")) as f:
+        hf = json.load(f)
+    n_heads = hf["num_attention_heads"]
+    dim = hf["hidden_size"]
+    return ModelConfig(
+        name=hf.get("model_type", "hf-model"),
+        dim=dim,
+        hidden_dim=hf["intermediate_size"],
+        n_layers=hf["num_hidden_layers"],
+        n_heads=n_heads,
+        n_kv_heads=hf.get("num_key_value_heads") or n_heads,
+        head_dim=hf.get("head_dim") or dim // n_heads,
+        vocab_size=hf["vocab_size"],
+        norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 1e4),
+        max_seq_len=(max_seq_len if max_seq_len is not None
+                     else min(hf.get("max_position_embeddings", 2048),
+                              4096)),
+        sliding_window=hf.get("sliding_window"),
+        n_experts=hf.get("num_local_experts", 1),
+        n_experts_per_tok=hf.get("num_experts_per_tok", 2),
+    )
+
+
 def _to_bits_bf16(x) -> np.ndarray:
     """f32/bf16 jax array -> uint16 bf16 bit patterns (for storage)."""
     import jax.numpy as jnp

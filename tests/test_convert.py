@@ -230,3 +230,75 @@ def test_convert_fused_roundtrip(tmp_path, rng, family):
     cos = lu @ lf / (np.linalg.norm(lu) * np.linalg.norm(lf) + 1e-30)
     assert cos > 0.999, cos
     assert np.argmax(lu) == np.argmax(lf)
+
+
+def test_config_from_hf(tmp_path):
+    """--model auto: ModelConfig derived from the HF config.json."""
+    import json
+    from effort_tpu.convert.convert import config_from_hf
+    hf = {
+        "model_type": "mistral",
+        "architectures": ["MistralForCausalLM"],
+        "hidden_size": 4096,
+        "intermediate_size": 14336,
+        "num_hidden_layers": 32,
+        "num_attention_heads": 32,
+        "num_key_value_heads": 8,
+        "vocab_size": 32000,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 1000000.0,
+        "max_position_embeddings": 32768,
+        "sliding_window": 4096,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf))
+    cfg = config_from_hf(str(tmp_path))
+    assert (cfg.dim, cfg.hidden_dim, cfg.n_layers) == (4096, 14336, 32)
+    assert (cfg.n_heads, cfg.n_kv_heads, cfg.head_dim) == (32, 8, 128)
+    assert cfg.rope_theta == 1e6 and cfg.sliding_window == 4096
+    assert cfg.max_seq_len == 4096          # capped (KV preallocation)
+    assert not cfg.is_moe
+    assert config_from_hf(str(tmp_path), max_seq_len=8192).max_seq_len \
+        == 8192
+
+    # Mixtral: MoE fields picked up
+    hf.update({"model_type": "mixtral", "num_local_experts": 8,
+               "num_experts_per_tok": 2, "sliding_window": None})
+    (tmp_path / "config.json").write_text(json.dumps(hf))
+    cfg = config_from_hf(str(tmp_path))
+    assert cfg.is_moe and cfg.n_experts == 8 and cfg.n_experts_per_tok == 2
+    assert cfg.sliding_window is None
+
+
+def test_convert_model_auto_end_to_end(tmp_path, rng):
+    """CLI convert --model auto: config read from HF config.json, then
+    the converted checkpoint loads and runs."""
+    import json
+    import jax
+    from effort_tpu.cli import main as cli_main
+    cfg = tiny_test_model()
+    src = tmp_path / "hf"
+    dst = tmp_path / "out"
+    src.mkdir()
+    _write_hf_ckpt(src, cfg, rng)
+    (src / "config.json").write_text(json.dumps({
+        "model_type": "tiny",
+        "hidden_size": cfg.dim,
+        "intermediate_size": cfg.hidden_dim,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "head_dim": cfg.head_dim,
+        "vocab_size": cfg.vocab_size,
+        "rms_norm_eps": cfg.norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "max_position_embeddings": cfg.max_seq_len,
+    }))
+    cli_main(["convert", "--model", "auto", "--src", str(src),
+              "--dst", str(dst), "--bucket-size", "4",
+              "--chunk-rows", "8"])
+    w, cfg2, _ = load_bucketized(str(dst))
+    assert cfg2.dim == cfg.dim and cfg2.n_layers == cfg.n_layers
+    kc, vc = make_kv_cache(cfg2)
+    lg, _, _ = forward_token(w, cfg2, jnp.asarray(3), jnp.asarray(0),
+                             kc, vc, effort=1.0, impl="jnp")
+    assert bool(jnp.isfinite(lg).all())
