@@ -183,16 +183,19 @@ class ContinuousBatcher:
     def __init__(self, engine: BatchEngine):
         self.eng = engine
         self.pending: List[tuple] = []      # (request_id, ids, n_new,
-                                            #  effort, callback)
+                                            #  effort, callback, on_token)
         self._next_id = 0
         self._callbacks: Dict[int, object] = {}
+        self._on_token: Dict[int, object] = {}
 
     def submit(self, prompt_ids: Sequence[int], n_new: int,
-               effort: float, callback) -> int:
+               effort: float, callback, on_token=None) -> int:
+        """on_token(token_id): called as each token lands (streaming);
+        callback(token_ids) still fires once with the full result."""
         rid = self._next_id
         self._next_id += 1
         self.pending.append((rid, list(prompt_ids), n_new, effort,
-                             callback))
+                             callback, on_token))
         return rid
 
     def has_work(self) -> bool:
@@ -202,17 +205,31 @@ class ContinuousBatcher:
         """Admit pending requests into free slots, then one decode step."""
         free = self.eng.free_slots()
         while self.pending and free:
-            rid, ids, n_new, effort, cb = self.pending.pop(0)
+            rid, ids, n_new, effort, cb, on_tok = self.pending.pop(0)
             b = free.pop(0)
             self._callbacks[rid] = cb
+            if on_tok is not None:
+                self._on_token[rid] = on_tok
             self.eng.admit(b, rid, ids, n_new, effort)
+            self._emit(b)                  # prefill produced a first token
             if self.eng.slots[b].done:     # finished at prefill (n_new<=1)
                 self._finish(b)
-        for b in self.eng.step():
+        act = self.eng.active()
+        finished = self.eng.step()
+        for b in act:                      # every active slot gained a token
+            self._emit(b)
+        for b in finished:
             self._finish(b)
+
+    def _emit(self, b: int) -> None:
+        st = self.eng.slots[b]
+        on_tok = self._on_token.get(st.request_id)
+        if on_tok is not None and st.generated:
+            on_tok(st.generated[-1])
 
     def _finish(self, b: int) -> None:
         st = self.eng.slots[b]
+        self._on_token.pop(st.request_id, None)
         cb = self._callbacks.pop(st.request_id, None)
         if cb is not None:
             cb(self.eng.result(b))

@@ -4,6 +4,11 @@ Realizes the reference's parked SwiftNIO server (garbage/server.swift:13-209)
 as a working asyncio service:
 
   GET /q?query=...&effort=0-100&numtokens=N   -> JSON {reply, tokens_per_s}
+  GET /q?...&stream=1                         -> SSE token stream
+     (continuous-batching mode only: `data: {token, text}` per token as
+      it lands in the decode slot, `event: done` with the full result;
+      single-flight generation is one jitted scan with no per-token host
+      hop, so stream=1 falls back to a single response there)
   GET /q?tokids=1,2,3&effort=...              -> JSON {predictions: [...]}
      (the external-eval hook: returns per-position argmax ids, the
       reference's hitMiss path for Python-driven benchmarks)
@@ -65,10 +70,11 @@ class EffortServer:
                 except Exception as e:
                     fut.set_exception(e)
                 return
-            fut, ids, n_new, effort = item
+            fut, ids, n_new, effort, on_token = item
             self.batcher.submit(
                 ids, n_new, effort,
-                lambda out: loop.call_soon_threadsafe(fut.set_result, out))
+                lambda out: loop.call_soon_threadsafe(fut.set_result, out),
+                on_token=on_token)
 
         while True:
             if not self.batcher.has_work():
@@ -132,13 +138,26 @@ class EffortServer:
             elif path.path == "/stats":
                 await self._respond(writer, 200, self.stats)
             elif path.path == "/q":
-                fut = asyncio.get_event_loop().create_future()
+                loop = asyncio.get_event_loop()
+                fut = loop.create_future()
+                stream = (params.get("stream", ["0"])[0]
+                          not in ("0", "", "false"))
+                tok_q: Optional[asyncio.Queue] = None
                 if self.batcher is not None and "tokids" not in params:
                     effort = float(params.get("effort", ["100"])[0]) / 100.0
                     effort = min(max(effort, 0.01), 1.0)
                     n_new = int(params.get("numtokens", ["50"])[0])
                     ids = self._encode_query(params.get("query", [""])[0])
-                    item = (fut, ids, n_new, effort)
+                    on_token = None
+                    if stream:
+                        tok_q = asyncio.Queue()
+                        q = tok_q
+
+                        def on_token(t, q=q):
+                            loop.call_soon_threadsafe(q.put_nowait, int(t))
+                        fut.add_done_callback(
+                            lambda _: q.put_nowait(None))
+                    item = (fut, ids, n_new, effort, on_token)
                 else:
                     item = (fut, lambda: self._handle_q(params))
                 try:
@@ -148,6 +167,9 @@ class EffortServer:
                     await self._respond(writer, 503, {"error": "busy"})
                     return
                 try:
+                    if tok_q is not None:
+                        await self._respond_sse(writer, tok_q, fut)
+                        return
                     result = await fut
                     if self.batcher is not None and "tokids" not in params:
                         tokens = result
@@ -168,6 +190,32 @@ class EffortServer:
                 writer.close()
             except Exception:
                 pass
+
+    async def _respond_sse(self, writer, tok_q: asyncio.Queue, fut):
+        """Server-sent events: one `data:` event per token as it lands in
+        the decode slot, then `event: done` with the full result."""
+        writer.write(b"HTTP/1.1 200 OK\r\n"
+                     b"content-type: text/event-stream\r\n"
+                     b"cache-control: no-cache\r\n"
+                     b"connection: close\r\n\r\n")
+        await writer.drain()
+        while True:
+            tok = await tok_q.get()
+            if tok is None:
+                break
+            piece = (self.tokenizer.decode([tok])
+                     if self.tokenizer is not None else "")
+            writer.write(b"data: " + json.dumps(
+                {"token": tok, "text": piece}).encode() + b"\n\n")
+            await writer.drain()
+        tokens = await fut
+        self.stats["tokens"] += len(tokens)
+        text = (self.tokenizer.decode(tokens)
+                if self.tokenizer is not None else "")
+        writer.write(b"event: done\ndata: " + json.dumps(
+            {"reply": text or str(tokens),
+             "token_ids": tokens}).encode() + b"\n\n")
+        await writer.drain()
 
     @staticmethod
     async def _respond(writer, code: int, obj: dict):

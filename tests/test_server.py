@@ -82,3 +82,38 @@ def test_batch_server_concurrent_requests():
         finally:
             await srv.stop()
     asyncio.run(run())
+
+
+def test_batch_server_streaming():
+    """stream=1 in batching mode: one SSE data event per token, then an
+    event: done carrying the full result."""
+    from effort_tpu.serving.server import make_batch_server
+    cfg = tiny_test_model(max_seq_len=64)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+
+    def _get_raw(port, path):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+            return r.status, r.headers.get("content-type"), \
+                r.read().decode()
+
+    async def run():
+        srv = make_batch_server(w, cfg, batch_size=2, pad_to=8, port=18091)
+        await srv.start()
+        loop = asyncio.get_event_loop()
+        try:
+            st, ctype, body = await loop.run_in_executor(
+                None, _get_raw, 18091,
+                "/q?query=hi&effort=100&numtokens=5&stream=1")
+            assert st == 200 and ctype == "text/event-stream"
+            events = [e for e in body.split("\n\n") if e.strip()]
+            data = [json.loads(e.split("data: ", 1)[1])
+                    for e in events if e.startswith("data: ")]
+            done = [e for e in events if e.startswith("event: done")]
+            assert len(done) == 1
+            final = json.loads(done[0].split("data: ", 1)[1])
+            assert [d["token"] for d in data] == final["token_ids"]
+            assert len(data) >= 2          # actually streamed per-token
+        finally:
+            await srv.stop()
+    asyncio.run(run())
