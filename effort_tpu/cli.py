@@ -91,6 +91,12 @@ def main(argv=None):
                         "(see convert/calibrate.py)")
     p.add_argument("--prompt", default="How are")
     p.add_argument("--n-tokens", type=int, default=30)
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="generate: self-speculative decode, k drafted "
+                        "tokens per verify round (0 = off); output is "
+                        "exactly the effort=1.0 greedy continuation")
+    p.add_argument("--draft-effort", type=float, default=0.25,
+                   help="draft effort for --spec-k")
     p.add_argument("--quiz-file", default=None)
     args = p.parse_args(argv)
     args.mode = {"playground": "bucket", "benchmark": "agreement",
@@ -128,6 +134,16 @@ def main(argv=None):
         return [1] + [ord(c) % cfg.vocab_size for c in text]
 
     if args.mode == "generate":
+        if args.spec_k > 0:
+            r = engine.generate_speculative(
+                encode(args.prompt), n_new=args.n_tokens,
+                draft_effort=args.draft_effort, k=args.spec_k)
+            print(r.text if r.text else r.token_ids)
+            print(f"[speculative, draft {args.draft_effort*100:.0f}%: "
+                  f"{r.eval_ms_per_token:.2f} ms/token, "
+                  f"{r.tokens_per_s:.1f} tok/s, "
+                  f"{r.spec_tokens_per_iter:.2f} tok/round]")
+            return
         r = engine.generate(encode(args.prompt), n_new=args.n_tokens,
                             effort=args.effort)
         print(r.text if r.text else r.token_ids)

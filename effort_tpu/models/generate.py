@@ -37,6 +37,8 @@ class Reply:
     tokens_per_s: float = 0.0
     prep_ms: float = 0.0       # compile (the analog of "prep" time)
     eval_ms_per_token: float = 0.0
+    spec_tokens_per_iter: float = 0.0  # speculative decode: mean accepted
+                                       # tokens per draft/verify round
 
 
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
@@ -155,6 +157,94 @@ def _prompt_logits_prefill(w: ModelWeights, cfg: ModelConfig, prompt_ids,
         w, cfg, ids_lp, k_cache, v_cache, start_slot=0, rope_offset=offset,
         mask_from=offset, effort=effort, impl=impl)
     return logits_all[-1], jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+
+
+def _spec_decode(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
+                 n_new, draft_effort: float, k: int, impl: str, eos_id: int):
+    """Self-speculative greedy decode: effort is the draft model.
+
+    Each round drafts k tokens at draft_effort (k cheap matvec steps),
+    then verifies ALL k in ONE batched forward_seq pass at effort=1.0 —
+    the verifier reads every weight once per k tokens instead of once
+    per token, so at high acceptance the decode approaches prefill
+    arithmetic intensity while emitting EXACTLY the full-effort greedy
+    continuation (every emitted token is a verifier argmax; the verify
+    pass also rewrites the drafted KV rows at full effort, so the cache
+    never retains approximate state). A capability the reference cannot
+    express: its draft would need a second model, ours is the same
+    weights at a lower effort dial.
+
+    Returns (ids [P+n_new+k], n_gen, n_iters).
+    """
+    P = prompt_ids.shape[0]
+    k_cache, v_cache = make_kv_cache(cfg)
+
+    # ---- prompt pass (token scan, full effort) ----
+    def pstep(carry, pos):
+        kc, vc, last = carry
+        lg, kc, vc = forward_token(w, cfg, prompt_ids[pos], pos, kc, vc,
+                                   effort=1.0, impl=impl)
+        last = jnp.where(pos == prompt_len - 1, lg, last)
+        return (kc, vc, last), None
+
+    (k_cache, v_cache, last), _ = jax.lax.scan(
+        pstep, (k_cache, v_cache, jnp.zeros((cfg.vocab_size,), jnp.float32)),
+        jnp.arange(P, dtype=jnp.int32))
+    t0 = jnp.argmax(last).astype(jnp.int32)
+
+    ids0 = jnp.concatenate([prompt_ids, jnp.zeros((n_new + k,), jnp.int32)])
+    ids0 = jax.lax.dynamic_update_index_in_dim(ids0, t0, prompt_len, 0)
+
+    def cond(c):
+        _, _, _, _, _, n_gen, done, _ = c
+        return (n_gen < n_new) & ~done
+
+    def body(c):
+        ids, kc, vc, tok, pos, n_gen, done, n_it = c
+        # draft k steps at low effort (approximate KV rows land at
+        # pos..pos+k-1; the verify pass rewrites them exactly)
+        def dstep(dc, i):
+            t, kc, vc = dc
+            lg, kc, vc = forward_token(w, cfg, t, pos + i, kc, vc,
+                                       effort=draft_effort, impl=impl)
+            nt = jnp.argmax(lg).astype(jnp.int32)
+            return (nt, kc, vc), nt
+
+        (_, kc, vc), dtoks = jax.lax.scan(
+            dstep, (tok, kc, vc), jnp.arange(k, dtype=jnp.int32))
+        consumed = jnp.concatenate([tok[None], dtoks[:-1]])
+
+        # verify all k in one batched pass at full effort
+        logits_all, kc, vc = forward_seq(
+            w, cfg, consumed, kc, vc, start_slot=pos, rope_offset=0,
+            mask_from=0, effort=1.0, impl=impl)
+        vtoks = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)   # [k]
+
+        # longest prefix where the draft agreed with the verifier
+        match = (dtoks[:-1] == vtoks[:-1])
+        acc = jnp.cumprod(match.astype(jnp.int32)).sum()     # 0..k-1
+        # emit vtoks[0..acc] (acc+1 tokens), truncated at the first EOS
+        iota = jnp.arange(k)
+        emitted = iota <= acc
+        is_eos = (vtoks == eos_id) & emitted
+        has_eos = is_eos.any()
+        first_eos = jnp.argmax(is_eos)
+        n_emit = jnp.where(has_eos, first_eos + 1, acc + 1)
+        n_emit = jnp.minimum(n_emit, n_new - n_gen)          # don't overrun
+        n_emit = jnp.maximum(n_emit, 1)
+
+        old = jax.lax.dynamic_slice(ids, (pos + 1,), (k,))
+        ids = jax.lax.dynamic_update_slice(
+            ids, jnp.where(iota < n_emit, vtoks, old), (pos + 1,))
+        tok2 = vtoks[n_emit - 1]
+        return (ids, kc, vc, tok2, pos + n_emit, n_gen + n_emit,
+                done | has_eos, n_it + 1)
+
+    init = (ids0, k_cache, v_cache, t0,
+            jnp.asarray(prompt_len, jnp.int32), jnp.asarray(1, jnp.int32),
+            t0 == eos_id, jnp.asarray(0, jnp.int32))
+    ids, _, _, _, _, n_gen, _, n_it = jax.lax.while_loop(cond, body, init)
+    return ids, n_gen, n_it
 
 
 def _position_logits_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
@@ -331,6 +421,49 @@ class Engine:
         else:
             preds = preds[:len(prompt_ids)]
         return jax.device_get(logits), [int(p) for p in preds]
+
+    def generate_speculative(self, prompt_ids: Sequence[int],
+                             n_new: int = 30, draft_effort: float = 0.25,
+                             k: int = 8) -> Reply:
+        """Self-speculative greedy decode: emits EXACTLY the effort=1.0
+        greedy continuation, but drafts k tokens per round at
+        draft_effort and verifies them in one batched full-effort pass
+        (weights read once per k tokens). See _spec_decode."""
+        P = max(self.pad_to,
+                -(-len(prompt_ids) // self.pad_to) * self.pad_to)
+        assert P + n_new + k <= self.cfg.max_seq_len, "sequence too long"
+        key = ("spec", P, n_new, draft_effort, k)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(partial(
+                _spec_decode, cfg=self.cfg, n_new=n_new,
+                draft_effort=draft_effort, k=k, impl=self.impl,
+                eos_id=self.eos_id))
+        padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
+        args = (jnp.asarray(padded, jnp.int32),
+                jnp.asarray(len(prompt_ids), jnp.int32))
+        t0 = time.perf_counter()
+        out = self._fns[key](self.w, prompt_ids=args[0],
+                             prompt_len=args[1])
+        out[0].block_until_ready()
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = self._fns[key](self.w, prompt_ids=args[0],
+                             prompt_len=args[1])
+        ids, n_gen, n_it = (jax.device_get(out[0]), int(out[1]),
+                            int(out[2]))
+        dt = time.perf_counter() - t0
+        n = min(n_gen, n_new)
+        toks = [int(t) for t in ids[len(prompt_ids):len(prompt_ids) + n]]
+        if self.eos_id in toks:
+            toks = toks[:toks.index(self.eos_id) + 1]
+        text = (self.tokenizer.decode(toks)
+                if self.tokenizer is not None else "")
+        return Reply(
+            token_ids=toks, predictions=[], text=text,
+            tokens_per_s=len(toks) / max(dt, 1e-9),
+            prep_ms=(t_first - dt) * 1e3,
+            eval_ms_per_token=dt * 1e3 / max(len(toks), 1),
+            spec_tokens_per_iter=n_gen / max(n_it, 1))
 
     def position_logits(self, prompt_ids: Sequence[int],
                         effort: float = 1.0):

@@ -1,0 +1,46 @@
+"""Self-speculative decode: effort as the draft model.
+
+The contract: generate_speculative emits EXACTLY the effort=1.0 greedy
+continuation (every emitted token is a verifier argmax over full-effort
+logits, and drafted KV rows are rewritten at full effort before any
+future step attends to them).
+"""
+
+import numpy as np
+import pytest
+
+from effort_tpu.config import BucketConfig, tiny_test_model
+from effort_tpu.models.transformer import init_random_weights
+from effort_tpu.models.generate import Engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_test_model(max_seq_len=96)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8),
+                            seed=1)
+    return Engine(w, cfg, impl="jnp", pad_to=8)
+
+
+@pytest.mark.parametrize("draft_effort,k", [(0.5, 4), (0.25, 6), (1.0, 4)])
+def test_spec_matches_full_greedy(engine, draft_effort, k):
+    prompt = [1, 5, 9, 2, 7]
+    n_new = 20
+    ref = engine.generate(prompt, n_new=n_new, effort=1.0)
+    spec = engine.generate_speculative(prompt, n_new=n_new,
+                                       draft_effort=draft_effort, k=k)
+    assert spec.token_ids == ref.token_ids
+    assert spec.spec_tokens_per_iter >= 1.0
+    if draft_effort == 1.0:
+        # a perfect draft accepts everything: k tokens per round
+        assert spec.spec_tokens_per_iter >= k - 1
+
+
+def test_spec_acceptance_monotone_in_effort(engine):
+    """Higher draft effort -> no fewer accepted tokens per round."""
+    prompt = [1, 3, 8]
+    lo = engine.generate_speculative(prompt, n_new=24, draft_effort=0.1,
+                                     k=6)
+    hi = engine.generate_speculative(prompt, n_new=24, draft_effort=1.0,
+                                     k=6)
+    assert hi.spec_tokens_per_iter >= lo.spec_tokens_per_iter - 1e-9
