@@ -29,13 +29,17 @@ import numpy as np
 
 from effort_tpu.config import ModelConfig
 from effort_tpu.models.transformer import (ModelWeights, forward_token,
-                                           make_kv_cache)
+                                           make_kv_cache,
+                                           make_ring_kv_cache,
+                                           ring_kv_hooks)
 
 
 def _consume_scan(w: ModelWeights, cfg: ModelConfig, ids, valid, pos0,
-                  k_cache, v_cache, effort: float, impl: str):
+                  k_cache, v_cache, effort: float, impl: str,
+                  ring: bool = False):
     """Feed ids[i] where valid[i], starting at cache slot pos0.
     Returns (last_logits, new_pos, k_cache, v_cache)."""
+    kv_up, attn = ring_kv_hooks(cfg) if ring else (None, None)
     offs = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
 
     def step(carry, i):
@@ -43,7 +47,7 @@ def _consume_scan(w: ModelWeights, cfg: ModelConfig, ids, valid, pos0,
         pos = pos0 + offs[i]
         logits, k_cache, v_cache = forward_token(
             w, cfg, ids[i], pos, k_cache, v_cache, effort=effort,
-            impl=impl)
+            impl=impl, kv_update_fn=kv_up, attn_fn=attn)
         last = jnp.where(valid[i], logits, last)
         return (k_cache, v_cache, last), None
 
@@ -55,11 +59,15 @@ def _consume_scan(w: ModelWeights, cfg: ModelConfig, ids, valid, pos0,
 
 
 def _gen_scan(w: ModelWeights, cfg: ModelConfig, tok0, pos0, k_cache,
-              v_cache, n_new: int, effort: float, impl: str, eos_id: int):
+              v_cache, n_new: int, effort: float, impl: str, eos_id: int,
+              ring: bool = False):
+    kv_up, attn = ring_kv_hooks(cfg) if ring else (None, None)
+
     def step(carry, i):
         tok, pos, k_cache, v_cache, done = carry
         logits, k_cache, v_cache = forward_token(
-            w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl)
+            w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
+            kv_update_fn=kv_up, attn_fn=attn)
         pred = jnp.argmax(logits).astype(jnp.int32)
         done = done | (tok == eos_id)
         return (pred, pos + 1, k_cache, v_cache, done), tok
@@ -75,14 +83,21 @@ class ChatSession:
 
     def __init__(self, weights: ModelWeights, cfg: ModelConfig,
                  impl: str = "auto", eos_id: int = 2, pad_to: int = 32,
-                 tokenizer=None):
+                 tokenizer=None, ring_kv: bool = False):
+        """ring_kv=True keeps the conversation in a rolling
+        O(sliding_window) cache: sessions are then unbounded by
+        max_seq_len (the model attends to the last window anyway)."""
         self.w = weights
         self.cfg = cfg
         self.impl = impl
         self.eos_id = eos_id
         self.pad_to = pad_to
         self.tokenizer = tokenizer
-        self.k_cache, self.v_cache = make_kv_cache(cfg)
+        self.ring_kv = ring_kv
+        assert not ring_kv or cfg.sliding_window, \
+            "ring_kv requires cfg.sliding_window"
+        self.k_cache, self.v_cache = (make_ring_kv_cache(cfg) if ring_kv
+                                      else make_kv_cache(cfg))
         self.pos = 0
         self.history: List[int] = []
         self._fns = {}
@@ -92,7 +107,7 @@ class ChatSession:
         if key not in self._fns:
             self._fns[key] = jax.jit(partial(
                 _consume_scan, cfg=self.cfg, effort=effort,
-                impl=self.impl))
+                impl=self.impl, ring=self.ring_kv))
         return self._fns[key]
 
     def _gen_fn(self, n_new: int, effort: float):
@@ -100,7 +115,7 @@ class ChatSession:
         if key not in self._fns:
             self._fns[key] = jax.jit(partial(
                 _gen_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                impl=self.impl, eos_id=self.eos_id))
+                impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
         return self._fns[key]
 
     def turn(self, prompt_ids: Sequence[int], n_new: int = 30,
@@ -110,8 +125,9 @@ class ChatSession:
         cache."""
         ids = list(prompt_ids)
         P = max(self.pad_to, -(-len(ids) // self.pad_to) * self.pad_to)
-        assert self.pos + P + n_new <= self.cfg.max_seq_len, \
-            "session exceeds max_seq_len"
+        assert self.ring_kv or \
+            self.pos + P + n_new <= self.cfg.max_seq_len, \
+            "session exceeds max_seq_len (use ring_kv=True for unbounded)"
         padded = ids + [0] * (P - len(ids))
         valid = [1] * len(ids) + [0] * (P - len(ids))
         last, pos, self.k_cache, self.v_cache = self._consume_fn(
@@ -138,14 +154,18 @@ class ChatSession:
         from effort_tpu.runtime.safetensors_io import SafeTensorWriter
         os.makedirs(path, exist_ok=True)
         wmeta = {"pos": self.pos, "history": self.history,
-                 "model": self.cfg.name}
+                 "model": self.cfg.name, "ring_kv": self.ring_kv}
         with open(os.path.join(path, "session.json"), "w") as f:
             json.dump(wmeta, f)
         wr = SafeTensorWriter(path, "session")
-        kc = np.asarray(self.k_cache[:, :self.pos + 1]
-                        if self.pos else self.k_cache[:, :1])
-        vc = np.asarray(self.v_cache[:, :self.pos + 1]
-                        if self.pos else self.v_cache[:, :1])
+        if self.ring_kv:
+            # the ring wraps: every slot may be live, save it whole
+            kc, vc = np.asarray(self.k_cache), np.asarray(self.v_cache)
+        else:
+            kc = np.asarray(self.k_cache[:, :self.pos + 1]
+                            if self.pos else self.k_cache[:, :1])
+            vc = np.asarray(self.v_cache[:, :self.pos + 1]
+                            if self.pos else self.v_cache[:, :1])
         wr.add("k_cache", kc.view(np.uint16), bf16_bits=True)
         wr.add("v_cache", vc.view(np.uint16), bf16_bits=True)
         wr.save()
@@ -154,9 +174,10 @@ class ChatSession:
     def load(cls, path: str, weights: ModelWeights, cfg: ModelConfig,
              **kw) -> "ChatSession":
         from effort_tpu.runtime.safetensors_io import MultiShardReader
-        self = cls(weights, cfg, **kw)
         with open(os.path.join(path, "session.json")) as f:
             meta = json.load(f)
+        kw.setdefault("ring_kv", bool(meta.get("ring_kv", False)))
+        self = cls(weights, cfg, **kw)
         rd = MultiShardReader(path, "session")
         kc = np.array(rd["k_cache"], copy=True).view(np.uint16)
         vc = np.array(rd["v_cache"], copy=True).view(np.uint16)

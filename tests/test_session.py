@@ -50,3 +50,35 @@ def test_save_resume(tmp_path, model):
     a = s.turn([7, 2], n_new=4, effort=1.0)
     b = s2.turn([7, 2], n_new=4, effort=1.0)
     assert a == b
+
+
+def test_ring_session_matches_full_cache():
+    """ring_kv session == full-cache session under the same window,
+    while the session runs past max_seq_len."""
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    cfg_ring = tiny_test_model(max_seq_len=16, sliding_window=8)
+    cfg_full = tiny_test_model(max_seq_len=96, sliding_window=8)
+    from effort_tpu.models.transformer import init_random_weights as irw
+    w = irw(cfg_ring, bcfg, seed=0)
+    s_ring = ChatSession(w, cfg_ring, impl="jnp", pad_to=4, ring_kv=True)
+    s_full = ChatSession(w, cfg_full, impl="jnp", pad_to=4)
+    for turn in ([1, 5, 9], [7, 2], [3, 3, 4, 8]):
+        a = s_ring.turn(turn, n_new=6, effort=1.0)
+        b = s_full.turn(turn, n_new=6, effort=1.0)
+        assert a == b
+    assert s_ring.pos > cfg_ring.max_seq_len   # ran past the cap
+    assert s_ring.k_cache.shape[1] == cfg_ring.sliding_window
+
+
+def test_ring_session_save_resume(tmp_path):
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    cfg = tiny_test_model(max_seq_len=16, sliding_window=8)
+    from effort_tpu.models.transformer import init_random_weights as irw
+    w = irw(cfg, bcfg, seed=0)
+    s = ChatSession(w, cfg, impl="jnp", pad_to=4, ring_kv=True)
+    s.turn([1, 5, 9, 2, 6], n_new=8, effort=1.0)   # wraps the ring
+    s.save(str(tmp_path / "rs"))
+    s2 = ChatSession.load(str(tmp_path / "rs"), w, cfg, impl="jnp",
+                          pad_to=4)
+    assert s2.ring_kv and s2.pos == s.pos
+    assert s.turn([7, 2], n_new=4) == s2.turn([7, 2], n_new=4)
