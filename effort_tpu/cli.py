@@ -97,6 +97,12 @@ def main(argv=None):
                         "exactly the effort=1.0 greedy continuation")
     p.add_argument("--draft-effort", type=float, default=0.25,
                    help="draft effort for --spec-k")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="generate: 0 = greedy (reference behavior), "
+                        ">0 samples")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiz-file", default=None)
     args = p.parse_args(argv)
     args.mode = {"playground": "bucket", "benchmark": "agreement",
@@ -145,7 +151,10 @@ def main(argv=None):
                   f"{r.spec_tokens_per_iter:.2f} tok/round]")
             return
         r = engine.generate(encode(args.prompt), n_new=args.n_tokens,
-                            effort=args.effort)
+                            effort=args.effort,
+                            temperature=args.temperature,
+                            top_k=args.top_k, top_p=args.top_p,
+                            seed=args.seed)
         print(r.text if r.text else r.token_ids)
         print(f"[effort {args.effort*100:.0f}%: "
               f"{r.eval_ms_per_token:.2f} ms/token, "

@@ -41,9 +41,31 @@ class Reply:
                                        # tokens per draft/verify round
 
 
+def _pick_token(logits, key, temperature: float, top_k: int,
+                top_p: float):
+    """Next-token choice: greedy at temperature 0, otherwise softmax
+    sampling with optional top-k and/or nucleus (top-p) truncation.
+    (The reference is greedy-only: mpsTopK argmax, runNetwork.swift:235.)"""
+    if temperature <= 0.0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(lg, top_k)[0][-1]
+        lg = jnp.where(lg >= kth, lg, -jnp.inf)
+    if top_p and top_p < 1.0:
+        # smallest prefix of the sorted distribution with mass >= top_p
+        srt = jnp.sort(lg)[::-1]
+        probs = jax.nn.softmax(srt)
+        keep = jnp.cumsum(probs) - probs < top_p    # always keeps argmax
+        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf))
+        lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
+    return jax.random.categorical(key, lg).astype(jnp.int32)
+
+
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                  n_new, effort: float, impl: str, eos_id: int,
-                 ring: bool = False):
+                 ring: bool = False, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0, rng_key=None):
     """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
     ring=True decodes over an O(sliding_window) rolling KV cache —
     sequence length is then unbounded by max_seq_len."""
@@ -55,17 +77,20 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
         k_cache, v_cache = make_kv_cache(cfg)
         kv_up = attn = None
     total = P + n_new
+    if rng_key is None:
+        rng_key = jax.random.key(0)
 
     ids0 = jnp.concatenate(
         [prompt_ids, jnp.zeros((n_new,), jnp.int32)])
 
     def step(carry, pos):
-        ids, k_cache, v_cache, done = carry
+        ids, k_cache, v_cache, done, key = carry
         tok = ids[pos]
         logits, k_cache, v_cache = forward_token(
             w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
             kv_update_fn=kv_up, attn_fn=attn)
-        pred = jnp.argmax(logits).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        pred = _pick_token(logits, sub, temperature, top_k, top_p)
         is_gen = pos >= prompt_len - 1          # generating from here on
         next_pos = pos + 1
         write = is_gen & (next_pos < total) & (~done)
@@ -75,10 +100,10 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                 ids, pred, jnp.minimum(next_pos, total - 1), 0),
             lambda: ids)
         done = done | (is_gen & (pred == eos_id))
-        return (ids, k_cache, v_cache, done), pred
+        return (ids, k_cache, v_cache, done, key), pred
 
-    (ids, _, _, _), preds = jax.lax.scan(
-        step, (ids0, k_cache, v_cache, jnp.asarray(False)),
+    (ids, _, _, _, _), preds = jax.lax.scan(
+        step, (ids0, k_cache, v_cache, jnp.asarray(False), rng_key),
         jnp.arange(total - 1, dtype=jnp.int32))
     return ids, preds
 
@@ -326,9 +351,11 @@ class Engine:
         return (jnp.asarray(effort, jnp.float32) if self.dynamic_effort
                 else effort)
 
-    def _fn(self, P: int, n_new: int, effort: float):
+    def _fn(self, P: int, n_new: int, effort: float,
+            sample: tuple = (0.0, 0, 1.0)):
         eff_key = "dyn" if self.dynamic_effort else effort
-        key = (P, n_new, eff_key, self.prefill)
+        key = (P, n_new, eff_key, self.prefill, sample)
+        temperature, top_k, top_p = sample
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
@@ -338,22 +365,34 @@ class Engine:
             elif self.dynamic_effort:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
-                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
+                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv,
+                    temperature=temperature, top_k=top_k, top_p=top_p))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
+                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv,
+                    temperature=temperature, top_k=top_k, top_p=top_p))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
-                 effort: float = 1.0) -> Reply:
+                 effort: float = 1.0, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 1.0,
+                 seed: int = 0) -> Reply:
+        """temperature=0 (default) is greedy (the reference's only mode);
+        temperature>0 samples, optionally truncated by top_k / top_p.
+        seed only matters when sampling (same seed -> same tokens)."""
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
             "sequence too long (use ring_kv for unbounded decode)"
+        sample = (temperature, top_k, top_p)
+        assert sample == (0.0, 0, 1.0) or not self.prefill, \
+            "sampling not wired into the prefill engine yet"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
-        fn = self._fn(P, n_new, effort)
+        fn = self._fn(P, n_new, effort, sample)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
+        if not self.prefill and temperature > 0.0:
+            kw["rng_key"] = jax.random.key(seed)
         args = (jnp.asarray(padded, jnp.int32),
                 jnp.asarray(len(prompt_ids), jnp.int32))
         t0 = time.perf_counter()

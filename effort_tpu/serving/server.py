@@ -108,7 +108,12 @@ class EffortServer:
 
         query = params.get("query", [""])[0]
         ids = self._encode_query(query)
-        reply = self.engine.generate(ids, n_new=n_tokens, effort=effort)
+        reply = self.engine.generate(
+            ids, n_new=n_tokens, effort=effort,
+            temperature=float(params.get("temperature", ["0"])[0]),
+            top_k=int(params.get("topk", ["0"])[0]),
+            top_p=float(params.get("topp", ["1.0"])[0]),
+            seed=int(params.get("seed", ["0"])[0]))
         self.stats["tokens"] += len(reply.token_ids)
         return {"reply": reply.text or str(reply.token_ids),
                 "effort": effort,

@@ -44,3 +44,34 @@ def test_spec_acceptance_monotone_in_effort(engine):
     hi = engine.generate_speculative(prompt, n_new=24, draft_effort=1.0,
                                      k=6)
     assert hi.spec_tokens_per_iter >= lo.spec_tokens_per_iter - 1e-9
+
+
+# ---- sampling (temperature / top-k / top-p) --------------------------
+
+
+def test_temperature_zero_is_greedy(engine):
+    a = engine.generate([1, 5, 9], n_new=8, effort=1.0)
+    b = engine.generate([1, 5, 9], n_new=8, effort=1.0, temperature=0.0)
+    assert a.token_ids == b.token_ids
+
+
+def test_sampling_deterministic_per_seed(engine):
+    a = engine.generate([1, 5, 9], n_new=8, temperature=0.8, seed=7)
+    b = engine.generate([1, 5, 9], n_new=8, temperature=0.8, seed=7)
+    c = engine.generate([1, 5, 9], n_new=8, temperature=0.8, seed=8)
+    assert a.token_ids == b.token_ids
+    assert len(c.token_ids) == 8
+
+
+def test_top_k_one_is_greedy(engine):
+    g = engine.generate([1, 5, 9], n_new=8)
+    s = engine.generate([1, 5, 9], n_new=8, temperature=1.5, top_k=1,
+                        seed=3)
+    assert s.token_ids == g.token_ids
+
+
+def test_top_p_tiny_is_greedy(engine):
+    g = engine.generate([1, 5, 9], n_new=8)
+    s = engine.generate([1, 5, 9], n_new=8, temperature=1.5, top_p=1e-9,
+                        seed=3)
+    assert s.token_ids == g.token_ids
