@@ -64,7 +64,7 @@ def main(argv=None):
     p.add_argument("--dst", help="output dir (convert)")
     p.add_argument("--model", default="mistral-7b",
                    choices=["auto", "mistral-7b", "mixtral-8x7b",
-                            "llama2-7b", "tiny"],
+                            "llama2-7b", "llama3-8b", "tiny"],
                    help="'auto' (convert only) reads the architecture "
                         "from the HF checkpoint's config.json")
     p.add_argument("--synthetic", nargs="?", const="tiny",
@@ -109,8 +109,9 @@ def main(argv=None):
                  "quickstart": "generate"}.get(args.mode, args.mode)
 
     if args.mode == "convert":
-        from effort_tpu.config import (BucketConfig, llama2_7b, mistral_7b,
-                                       mixtral_8x7b, tiny_test_model)
+        from effort_tpu.config import (BucketConfig, llama2_7b, llama3_8b,
+                                       mistral_7b, mixtral_8x7b,
+                                       tiny_test_model)
         from effort_tpu.convert.convert import (config_from_hf,
                                                 convert_checkpoint)
         if args.model == "auto":
@@ -119,6 +120,7 @@ def main(argv=None):
             cfg = {"mistral-7b": mistral_7b(),
                    "mixtral-8x7b": mixtral_8x7b(),
                    "llama2-7b": llama2_7b(),
+                   "llama3-8b": llama3_8b(),
                    "tiny": tiny_test_model()}[args.model]
         bcfg = BucketConfig(bucket_size=args.bucket_size,
                             chunk_rows=args.chunk_rows, dtype=args.dtype)

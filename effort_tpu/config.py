@@ -127,6 +127,18 @@ def llama2_7b(**kw) -> ModelConfig:
     )
 
 
+def llama3_8b(**kw) -> ModelConfig:
+    """Llama-3-8B: Mistral-shaped decoder (GQA 32/8, 14336 FFN) with the
+    128k-token vocabulary and rope_theta 5e5. HF tensor names are
+    identical to Mistral's, so the converter's mistral map applies;
+    `convert --model auto` also derives this config from config.json."""
+    return dataclasses.replace(
+        ModelConfig(name="llama3-8b", vocab_size=128256, rope_theta=5e5,
+                    max_seq_len=4096),
+        **kw,
+    )
+
+
 def mixtral_8x7b(**kw) -> ModelConfig:
     return dataclasses.replace(
         ModelConfig(name="mixtral-8x7b", n_experts=8, n_experts_per_tok=2,
