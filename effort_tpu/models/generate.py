@@ -24,8 +24,19 @@ import jax.numpy as jnp
 from effort_tpu.config import ModelConfig
 from effort_tpu.models.transformer import (ModelWeights, forward_seq,
                                            forward_token, make_kv_cache,
+                                           make_quant_kv_cache,
                                            make_ring_kv_cache,
-                                           ring_kv_hooks)
+                                           quant_kv_hooks, ring_kv_hooks)
+
+
+def _make_cache_and_hooks(cfg, kv_mode: str):
+    """kv_mode: 'full' (bf16, max_seq_len slots), 'ring' (bf16, rolling
+    sliding_window slots), 'int8' (quantized, max_seq_len slots)."""
+    if kv_mode == "ring":
+        return make_ring_kv_cache(cfg) + ring_kv_hooks(cfg)
+    if kv_mode == "int8":
+        return make_quant_kv_cache(cfg) + quant_kv_hooks(cfg)
+    return make_kv_cache(cfg) + (None, None)
 
 
 @dataclasses.dataclass
@@ -64,18 +75,14 @@ def _pick_token(logits, key, temperature: float, top_k: int,
 
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                  n_new, effort: float, impl: str, eos_id: int,
-                 ring: bool = False, temperature: float = 0.0,
+                 kv_mode: str = "full", temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0, rng_key=None):
     """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
-    ring=True decodes over an O(sliding_window) rolling KV cache —
-    sequence length is then unbounded by max_seq_len."""
+    kv_mode='ring' decodes over an O(sliding_window) rolling KV cache
+    (sequence length unbounded by max_seq_len); 'int8' over the
+    quantized cache (half the KV bytes)."""
     P = prompt_ids.shape[0]
-    if ring:
-        k_cache, v_cache = make_ring_kv_cache(cfg)
-        kv_up, attn = ring_kv_hooks(cfg)
-    else:
-        k_cache, v_cache = make_kv_cache(cfg)
-        kv_up = attn = None
+    k_cache, v_cache, kv_up, attn = _make_cache_and_hooks(cfg, kv_mode)
     total = P + n_new
     if rng_key is None:
         rng_key = jax.random.key(0)
@@ -322,7 +329,7 @@ class Engine:
                  pad_to: int = 32, prefill: bool = False,
                  prefill_impl: str = "auto",
                  dynamic_effort: bool = False,
-                 ring_kv: bool = False):
+                 ring_kv: bool = False, quant_kv: bool = False):
         """dynamic_effort=True traces effort as a runtime argument: ONE
         compiled executable serves every effort value (the reference's
         instant effort knob, main.swift:110-135). Requires a layout whose
@@ -341,10 +348,13 @@ class Engine:
         self.ring_kv = ring_kv
         assert not (dynamic_effort and prefill), \
             "dynamic_effort works with the decode-scan engine"
-        assert not (ring_kv and prefill), \
-            "ring_kv works with the decode-scan engine"
+        assert not ((ring_kv or quant_kv) and prefill), \
+            "ring_kv/quant_kv work with the decode-scan engine"
+        assert not (ring_kv and quant_kv), "pick one KV-cache mode"
         assert not ring_kv or cfg.sliding_window, \
             "ring_kv requires cfg.sliding_window"
+        self.kv_mode = "ring" if ring_kv else ("int8" if quant_kv
+                                               else "full")
         self._fns = {}
 
     def _eff(self, effort: float):
@@ -365,12 +375,12 @@ class Engine:
             elif self.dynamic_effort:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
-                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv,
+                    impl=self.impl, eos_id=self.eos_id, kv_mode=self.kv_mode,
                     temperature=temperature, top_k=top_k, top_p=top_p))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                    impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv,
+                    impl=self.impl, eos_id=self.eos_id, kv_mode=self.kv_mode,
                     temperature=temperature, top_k=top_k, top_p=top_p))
         return self._fns[key]
 

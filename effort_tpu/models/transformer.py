@@ -192,15 +192,68 @@ def ring_kv_hooks(cfg: ModelConfig):
             (l, slot, 0, 0))
         return k_cache, v_cache
 
-    def attn(q, k_l, v_l, pos):
+    def attn(q, k_cache, v_cache, l, pos):
         KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
         qh = q.reshape(KV, rep, D).astype(jnp.float32)
-        kf = k_l.astype(jnp.float32)
-        vf = v_l.astype(jnp.float32)
+        kf = k_cache[l].astype(jnp.float32)
+        vf = v_cache[l].astype(jnp.float32)
         scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
         t_ids = jnp.arange(W)
         live = (t_ids[None, None, :] <= pos) | (pos >= W)
         scores = jnp.where(live, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("krt,tkd->krd", probs, vf)
+        return out.reshape(cfg.n_heads * D)
+
+    return upd, attn
+
+
+def make_quant_kv_cache(cfg: ModelConfig):
+    """int8 KV cache: (data [L,S,KV,D] int8, scale [L,S,KV] f32) per
+    side. Halves KV memory/bandwidth vs bf16 — attention at long context
+    is bandwidth-bound, so this is the serving long-context lever."""
+    L, S = cfg.n_layers, cfg.max_seq_len
+    KV, D = cfg.n_kv_heads, cfg.head_dim
+    z8 = jnp.zeros((L, S, KV, D), jnp.int8)
+    zs = jnp.zeros((L, S, KV), jnp.float32)
+    return (z8, zs), (jnp.zeros_like(z8), jnp.zeros_like(zs))
+
+
+def quant_kv_hooks(cfg: ModelConfig):
+    """(kv_update_fn, attn_fn) for the int8 KV cache: each new row is
+    quantized per (slot, kv-head) with a symmetric absmax scale; the
+    attention read dequantizes on the fly (XLA fuses the int8->f32
+    convert + scale into the score/value contractions, so HBM traffic
+    stays at the int8 byte count)."""
+    def _quant_row(x):                        # [KV, D] -> int8 + scale
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 127.0
+        q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+        return q, s.astype(jnp.float32)
+
+    def upd(k_cache, v_cache, l, pos, k, v):
+        (kd, ks), (vd, vs) = k_cache, v_cache
+        kq, ksc = _quant_row(k.astype(jnp.float32))
+        vq, vsc = _quant_row(v.astype(jnp.float32))
+        kd = jax.lax.dynamic_update_slice(kd, kq[None, None],
+                                          (l, pos, 0, 0))
+        ks = jax.lax.dynamic_update_slice(ks, ksc[None, None], (l, pos, 0))
+        vd = jax.lax.dynamic_update_slice(vd, vq[None, None],
+                                          (l, pos, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, vsc[None, None], (l, pos, 0))
+        return (kd, ks), (vd, vs)
+
+    def attn(q, k_cache, v_cache, l, pos):
+        (kd, ks), (vd, vs) = k_cache, v_cache
+        KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
+        qh = q.reshape(KV, rep, D).astype(jnp.float32)
+        kf = kd[l].astype(jnp.float32) * ks[l][..., None]   # [S, KV, D]
+        vf = vd[l].astype(jnp.float32) * vs[l][..., None]
+        scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
+        t_ids = jnp.arange(cfg.max_seq_len)
+        mask = t_ids[None, None, :] <= pos
+        if active_window(cfg):
+            mask &= t_ids[None, None, :] > pos - cfg.sliding_window
+        scores = jnp.where(mask, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("krt,tkd->krd", probs, vf)
         return out.reshape(cfg.n_heads * D)
@@ -319,9 +372,11 @@ def forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     and attention ignores cache slots < mask_from (the pad region).
 
     kv_update_fn(k_cache, v_cache, l, pos, k [KV,D], v [KV,D]) and
-    attn_fn(q, k_cache_l, v_cache_l, pos) override the KV-cache write and
-    the attention read — used by parallel/sp.py for sequence-sharded
-    caches (each chip owns a slice of the slot axis).
+    attn_fn(q, k_cache, v_cache, l, pos) override the KV-cache write and
+    the attention read — used by parallel/sp.py (sequence-sharded
+    caches), ring_kv_hooks (rolling window cache), and quant_kv_hooks
+    (int8 cache as (data, scale) tuples). Hook-provided caches may be
+    arbitrary pytrees; the core never indexes them itself.
     """
     h = w.tok_embeddings[token_id].astype(jnp.float32)
     h, k_cache, v_cache, h_layers = forward_layers(
@@ -378,7 +433,9 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
                 v_cache, v.reshape(KV, D).astype(v_cache.dtype)[None, None],
                 (l, pos, 0, 0))
         if attn_fn is not None:
-            attn = attn_fn(q, k_cache[l], v_cache[l], pos)
+            # full caches + layer index: hook-owned layouts (ring slots,
+            # quantized data+scale tuples, sharded slices) index themselves
+            attn = attn_fn(q, k_cache, v_cache, l, pos)
         else:
             attn = _attention(q, k_cache[l], v_cache[l], pos, cfg,
                               mask_from)

@@ -109,8 +109,8 @@ def sp_forward_token(w: ModelWeights, cfg: ModelConfig, token_id, pos,
     Returns (logits, k_cache, v_cache) — logits replicated."""
     s_loc = cfg.max_seq_len // n_sp
     kv_up = partial(_sp_kv_update, s_loc=s_loc, axis=axis)
-    attn = lambda q, kc_l, vc_l, p: _sp_attention(
-        q, kc_l, vc_l, p, cfg, s_loc, axis, mask_from)
+    attn = lambda q, kc, vc, l, p: _sp_attention(
+        q, kc[l], vc[l], p, cfg, s_loc, axis, mask_from)
     return forward_token(w, cfg, token_id, pos, k_cache, v_cache,
                          effort=effort, impl=impl, rope_offset=rope_offset,
                          mask_from=mask_from, kv_update_fn=kv_up,
