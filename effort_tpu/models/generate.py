@@ -52,31 +52,39 @@ class Reply:
                                        # tokens per draft/verify round
 
 
-def _pick_token(logits, key, temperature: float, top_k: int,
-                top_p: float):
-    """Next-token choice: greedy at temperature 0, otherwise softmax
+def _pick_token(logits, key, sampled: bool, top_k: int, temperature,
+                top_p):
+    """Next-token choice: greedy when sampled=False, otherwise softmax
     sampling with optional top-k and/or nucleus (top-p) truncation.
-    (The reference is greedy-only: mpsTopK argmax, runNetwork.swift:235.)"""
-    if temperature <= 0.0:
+    (The reference is greedy-only: mpsTopK argmax, runNetwork.swift:235.)
+
+    sampled and top_k are compile-time (they change the program);
+    temperature and top_p are TRACED scalars — client-supplied floats
+    must not mint new executables (the compile cache would grow without
+    bound under a parameter sweep)."""
+    if not sampled:
         return jnp.argmax(logits).astype(jnp.int32)
-    lg = logits.astype(jnp.float32) / temperature
+    lg = logits.astype(jnp.float32) / jnp.maximum(
+        jnp.asarray(temperature, jnp.float32), 1e-6)
     if top_k and top_k > 0:
         kth = jax.lax.top_k(lg, top_k)[0][-1]
         lg = jnp.where(lg >= kth, lg, -jnp.inf)
-    if top_p and top_p < 1.0:
-        # smallest prefix of the sorted distribution with mass >= top_p
-        srt = jnp.sort(lg)[::-1]
-        probs = jax.nn.softmax(srt)
-        keep = jnp.cumsum(probs) - probs < top_p    # always keeps argmax
-        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf))
-        lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
+    # nucleus: smallest prefix of the sorted distribution with mass
+    # >= top_p; a traced no-op when top_p >= 1
+    srt = jnp.sort(lg)[::-1]
+    probs = jax.nn.softmax(srt)
+    keep = jnp.cumsum(probs) - probs < top_p        # always keeps argmax
+    cutoff = jnp.min(jnp.where(keep, srt, jnp.inf))
+    cutoff = jnp.where(jnp.asarray(top_p) >= 1.0, -jnp.inf, cutoff)
+    lg = jnp.where(lg >= cutoff, lg, -jnp.inf)
     return jax.random.categorical(key, lg).astype(jnp.int32)
 
 
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                  n_new, effort: float, impl: str, eos_id: int,
-                 kv_mode: str = "full", temperature: float = 0.0,
-                 top_k: int = 0, top_p: float = 1.0, rng_key=None):
+                 kv_mode: str = "full", sampled: bool = False,
+                 top_k: int = 0, temperature=0.0, top_p=1.0,
+                 rng_key=None):
     """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
     kv_mode='ring' decodes over an O(sliding_window) rolling KV cache
     (sequence length unbounded by max_seq_len); 'int8' over the
@@ -97,7 +105,7 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
             w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
             kv_update_fn=kv_up, attn_fn=attn)
         key, sub = jax.random.split(key)
-        pred = _pick_token(logits, sub, temperature, top_k, top_p)
+        pred = _pick_token(logits, sub, sampled, top_k, temperature, top_p)
         is_gen = pos >= prompt_len - 1          # generating from here on
         next_pos = pos + 1
         write = is_gen & (next_pos < total) & (~done)
@@ -362,10 +370,9 @@ class Engine:
                 else effort)
 
     def _fn(self, P: int, n_new: int, effort: float,
-            sample: tuple = (0.0, 0, 1.0)):
+            sampled: bool = False, top_k: int = 0):
         eff_key = "dyn" if self.dynamic_effort else effort
-        key = (P, n_new, eff_key, self.prefill, sample)
-        temperature, top_k, top_p = sample
+        key = (P, n_new, eff_key, self.prefill, sampled, top_k)
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
@@ -375,13 +382,13 @@ class Engine:
             elif self.dynamic_effort:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
-                    impl=self.impl, eos_id=self.eos_id, kv_mode=self.kv_mode,
-                    temperature=temperature, top_k=top_k, top_p=top_p))
+                    impl=self.impl, eos_id=self.eos_id,
+                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                    impl=self.impl, eos_id=self.eos_id, kv_mode=self.kv_mode,
-                    temperature=temperature, top_k=top_k, top_p=top_p))
+                    impl=self.impl, eos_id=self.eos_id,
+                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
@@ -390,19 +397,23 @@ class Engine:
                  seed: int = 0) -> Reply:
         """temperature=0 (default) is greedy (the reference's only mode);
         temperature>0 samples, optionally truncated by top_k / top_p.
-        seed only matters when sampling (same seed -> same tokens)."""
+        seed only matters when sampling (same seed -> same tokens).
+        temperature/top_p are traced (any value, one executable); top_k
+        changes the compiled program."""
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
             "sequence too long (use ring_kv for unbounded decode)"
-        sample = (temperature, top_k, top_p)
-        assert sample == (0.0, 0, 1.0) or not self.prefill, \
+        sampled = temperature > 0.0
+        assert not (sampled and self.prefill), \
             "sampling not wired into the prefill engine yet"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
-        fn = self._fn(P, n_new, effort, sample)
+        fn = self._fn(P, n_new, effort, sampled, top_k if sampled else 0)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
-        if not self.prefill and temperature > 0.0:
+        if sampled:
             kw["rng_key"] = jax.random.key(seed)
+            kw["temperature"] = jnp.asarray(temperature, jnp.float32)
+            kw["top_p"] = jnp.asarray(top_p, jnp.float32)
         args = (jnp.asarray(padded, jnp.int32),
                 jnp.asarray(len(prompt_ids), jnp.int32))
         t0 = time.perf_counter()
@@ -478,6 +489,10 @@ class Engine:
         greedy continuation, but drafts k tokens per round at
         draft_effort and verifies them in one batched full-effort pass
         (weights read once per k tokens). See _spec_decode."""
+        assert self.kv_mode == "full", (
+            "generate_speculative runs on the full bf16 cache: the "
+            "verify pass (forward_seq) writes KV rows directly and has "
+            "no ring/int8 hook path yet")
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         assert P + n_new + k <= self.cfg.max_seq_len, "sequence too long"

@@ -193,19 +193,27 @@ def ring_kv_hooks(cfg: ModelConfig):
         return k_cache, v_cache
 
     def attn(q, k_cache, v_cache, l, pos):
-        KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
-        qh = q.reshape(KV, rep, D).astype(jnp.float32)
-        kf = k_cache[l].astype(jnp.float32)
-        vf = v_cache[l].astype(jnp.float32)
-        scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
-        t_ids = jnp.arange(W)
-        live = (t_ids[None, None, :] <= pos) | (pos >= W)
-        scores = jnp.where(live, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("krt,tkd->krd", probs, vf)
-        return out.reshape(cfg.n_heads * D)
+        # decode-only (no left-padded prefill, so no mask_from): before
+        # warm-up only slots <= pos are live, after it every slot is
+        live = (jnp.arange(W) <= pos) | (pos >= W)
+        return _attn_core(q, k_cache[l].astype(jnp.float32),
+                          v_cache[l].astype(jnp.float32), live, cfg)
 
     return upd, attn
+
+
+def _attn_core(q, kf, vf, live, cfg: ModelConfig):
+    """Shared masked-softmax attention read for one query token.
+    q [H*D]; kf/vf [S, KV, D] float32 (already dequantized); live [S]
+    bool. The single home of the score/softmax/output math so mask or
+    scale fixes never need applying in multiple hooks."""
+    KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
+    qh = q.reshape(KV, rep, D).astype(jnp.float32)
+    scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
+    scores = jnp.where(live[None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("krt,tkd->krd", probs, vf)
+    return out.reshape(cfg.n_heads * D)
 
 
 def make_quant_kv_cache(cfg: ModelConfig):
@@ -244,19 +252,13 @@ def quant_kv_hooks(cfg: ModelConfig):
 
     def attn(q, k_cache, v_cache, l, pos):
         (kd, ks), (vd, vs) = k_cache, v_cache
-        KV, rep, D = cfg.n_kv_heads, cfg.kv_repeats, cfg.head_dim
-        qh = q.reshape(KV, rep, D).astype(jnp.float32)
         kf = kd[l].astype(jnp.float32) * ks[l][..., None]   # [S, KV, D]
         vf = vd[l].astype(jnp.float32) * vs[l][..., None]
-        scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
         t_ids = jnp.arange(cfg.max_seq_len)
-        mask = t_ids[None, None, :] <= pos
+        live = t_ids <= pos
         if active_window(cfg):
-            mask &= t_ids[None, None, :] > pos - cfg.sliding_window
-        scores = jnp.where(mask, scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("krt,tkd->krd", probs, vf)
-        return out.reshape(cfg.n_heads * D)
+            live &= t_ids > pos - cfg.sliding_window
+        return _attn_core(q, kf, vf, live, cfg)
 
     return upd, attn
 
@@ -270,20 +272,12 @@ def active_window(cfg: ModelConfig) -> int:
 
 def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig, mask_from=0):
     """q: [n_heads*head_dim]; caches: [T, n_kv, hd]. Returns [n_heads*hd]."""
-    H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    rep = cfg.kv_repeats
-    qh = q.reshape(KV, rep, D).astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
-    scores = jnp.einsum("krd,tkd->krt", qh, kf) / jnp.sqrt(float(D))
     t_ids = jnp.arange(cfg.max_seq_len)
-    mask = (t_ids[None, None, :] <= pos) & (t_ids[None, None, :] >= mask_from)
+    live = (t_ids <= pos) & (t_ids >= mask_from)
     if active_window(cfg):
-        mask &= t_ids[None, None, :] > pos - cfg.sliding_window
-    scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("krt,tkd->krd", probs, vf)
-    return out.reshape(H * D)
+        live &= t_ids > pos - cfg.sliding_window
+    return _attn_core(q, k_cache.astype(jnp.float32),
+                      v_cache.astype(jnp.float32), live, cfg)
 
 
 def _attention_seq(Q, k_cache, v_cache, slots, mask_from, cfg: ModelConfig):

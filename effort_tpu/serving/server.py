@@ -149,6 +149,13 @@ class EffortServer:
                           not in ("0", "", "false"))
                 tok_q: Optional[asyncio.Queue] = None
                 if self.batcher is not None and "tokids" not in params:
+                    if float(params.get("temperature", ["0"])[0]) > 0:
+                        # the batched decode step is argmax-only; refuse
+                        # rather than silently return greedy output
+                        await self._respond(writer, 400, {
+                            "error": "sampling params are not supported "
+                                     "in continuous-batching mode"})
+                        return
                     effort = float(params.get("effort", ["100"])[0]) / 100.0
                     effort = min(max(effort, 0.01), 1.0)
                     n_new = int(params.get("numtokens", ["50"])[0])
@@ -204,12 +211,20 @@ class EffortServer:
                      b"cache-control: no-cache\r\n"
                      b"connection: close\r\n\r\n")
         await writer.drain()
+        toks, prev_text = [], ""
         while True:
             tok = await tok_q.get()
             if tok is None:
                 break
-            piece = (self.tokenizer.decode([tok])
-                     if self.tokenizer is not None else "")
+            toks.append(tok)
+            piece = ""
+            if self.tokenizer is not None:
+                # decode the WHOLE prefix and emit the delta: per-token
+                # decode would strip sentencepiece space markers and
+                # mangle byte-fallback (multi-byte UTF-8) tokens, making
+                # the streamed text disagree with the final reply
+                full = self.tokenizer.decode(toks)
+                piece, prev_text = full[len(prev_text):], full
             writer.write(b"data: " + json.dumps(
                 {"token": tok, "text": piece}).encode() + b"\n\n")
             await writer.drain()

@@ -117,3 +117,31 @@ def test_batch_server_streaming():
         finally:
             await srv.stop()
     asyncio.run(run())
+
+
+def test_batch_server_rejects_sampling_params():
+    from effort_tpu.serving.server import make_batch_server
+    import urllib.error
+    cfg = tiny_test_model(max_seq_len=64)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+
+    async def run():
+        srv = make_batch_server(w, cfg, batch_size=2, pad_to=8, port=18092)
+        await srv.start()
+        loop = asyncio.get_event_loop()
+
+        def _get_status(path):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:18092{path}", timeout=60) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+        try:
+            st = await loop.run_in_executor(
+                None, _get_status,
+                "/q?query=hi&numtokens=2&temperature=0.9")
+            assert st == 400
+        finally:
+            await srv.stop()
+    asyncio.run(run())

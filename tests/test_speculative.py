@@ -75,3 +75,25 @@ def test_top_p_tiny_is_greedy(engine):
     s = engine.generate([1, 5, 9], n_new=8, temperature=1.5, top_p=1e-9,
                         seed=3)
     assert s.token_ids == g.token_ids
+
+
+def test_sampling_params_do_not_recompile(engine):
+    """temperature/top_p are traced: one executable serves any value."""
+    engine.generate([1, 5, 9], n_new=4, temperature=0.7, seed=1)
+    n_fns = len(engine._fns)
+    engine.generate([1, 5, 9], n_new=4, temperature=0.9, top_p=0.95,
+                    seed=2)
+    engine.generate([1, 5, 9], n_new=4, temperature=1.3, top_p=0.5,
+                    seed=3)
+    assert len(engine._fns) == n_fns
+
+
+def test_spec_refuses_non_full_kv():
+    from effort_tpu.config import tiny_test_model, BucketConfig
+    from effort_tpu.models.transformer import init_random_weights
+    cfg = tiny_test_model(max_seq_len=32, sliding_window=8)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+    eng = Engine(w, cfg, impl="jnp", pad_to=8, ring_kv=True)
+    import pytest as _pt
+    with _pt.raises(AssertionError, match="full bf16 cache"):
+        eng.generate_speculative([1, 5], n_new=4)
