@@ -35,10 +35,11 @@ _BF16 = "BF16"
 
 
 def _native_lib():
-    """Load the C++ mmap helper if built (native/libeffort_io.so)."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "native", "libeffort_io.so")
-    if not os.path.exists(path):
+    """Load the C++ mmap helper (native/libeffort_io.so), building it
+    on first use when only the sources are present."""
+    from effort_tpu.runtime._native_build import native_lib_path
+    path = native_lib_path()
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

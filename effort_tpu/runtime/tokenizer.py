@@ -23,9 +23,9 @@ SPIECE = "▁"  # ▁
 
 
 def _native_lib():
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "native", "libeffort_io.so")
-    if not os.path.exists(path):
+    from effort_tpu.runtime._native_build import native_lib_path
+    path = native_lib_path()
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)
