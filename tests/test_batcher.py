@@ -115,3 +115,29 @@ def test_forward_token_batch_matches_per_slot(model):
         np.testing.assert_allclose(
             np.asarray(kb2[:, s]).astype(np.float32),
             np.asarray(kc).astype(np.float32), atol=0.02)
+
+
+def test_batch_matches_single_with_window():
+    """Batched decode honors sliding-window attention: slot outputs
+    match single-request generation on a windowed config."""
+    cfg = tiny_test_model(max_seq_len=64, sliding_window=6)
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    w = init_random_weights(cfg, bcfg, seed=4)
+    prompts = [[1, 5, 9, 2, 7, 4, 6], [4, 8, 15]]
+    n_new = 8   # prompt + gen crosses the window for slot 0
+
+    ref = Engine(w, cfg, impl="jnp", pad_to=8, prefill=True,
+                 prefill_impl="jnp")
+    refs = [ref.generate(p, n_new=n_new, effort=1.0).token_ids
+            for p in prompts]
+
+    be = BatchEngine(w, cfg, batch_size=2, pad_to=8, impl="jnp",
+                     prefill_impl="jnp")
+    cb = ContinuousBatcher(be)
+    results = {}
+    for i, p in enumerate(prompts):
+        cb.submit(p, n_new, 1.0,
+                  lambda out, i=i: results.__setitem__(i, out))
+    cb.run_until_drained()
+    for i in range(len(prompts)):
+        assert results[i] == refs[i], (i, results[i], refs[i])
