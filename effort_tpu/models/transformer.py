@@ -233,15 +233,10 @@ def quant_kv_hooks(cfg: ModelConfig):
     attention read dequantizes on the fly (XLA fuses the int8->f32
     convert + scale into the score/value contractions, so HBM traffic
     stays at the int8 byte count)."""
-    def _quant_row(x):                        # [KV, D] -> int8 + scale
-        s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 127.0
-        q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
-        return q, s.astype(jnp.float32)
-
     def upd(k_cache, v_cache, l, pos, k, v):
         (kd, ks), (vd, vs) = k_cache, v_cache
-        kq, ksc = _quant_row(k.astype(jnp.float32))
-        vq, vsc = _quant_row(v.astype(jnp.float32))
+        kq, ksc = quantize_kv_rows(k.astype(jnp.float32))
+        vq, vsc = quantize_kv_rows(v.astype(jnp.float32))
         kd = jax.lax.dynamic_update_slice(kd, kq[None, None],
                                           (l, pos, 0, 0))
         ks = jax.lax.dynamic_update_slice(ks, ksc[None, None], (l, pos, 0))
@@ -478,15 +473,39 @@ def bucket_matvec_jnp_traced(bm, v, effort, expert, impl):
     return bucket_matvec_jnp(bm, v, effort, expert)
 
 
+def quantize_kv_rows(x):
+    """x [..., D] -> (int8 [..., D], scale [...]) with symmetric absmax
+    scales over the last axis (shared with the batch int8 cache)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _attention_q8(q, kd, ks, vd, vs, pos, cfg: ModelConfig, mask_from):
+    """int8 attention read for one slot: kd/vd [S, KV, D] int8,
+    ks/vs [S, KV] scales."""
+    kf = kd.astype(jnp.float32) * ks[..., None]
+    vf = vd.astype(jnp.float32) * vs[..., None]
+    t_ids = jnp.arange(cfg.max_seq_len)
+    live = (t_ids <= pos) & (t_ids >= mask_from)
+    if active_window(cfg):
+        live &= t_ids > pos - cfg.sliding_window
+    return _attn_core(q, kf, vf, live, cfg)
+
+
 def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
                         k_cache, v_cache, efforts, offs=None,
-                        impl: str = "auto"):
+                        impl: str = "auto", kv_quant: bool = False):
     """Batched decode step: B slots advance together.
 
     toks/pos/efforts: [B]; caches [L, B, S, KV, D]; offs [B] left-pad
     offsets. Per-slot effort is TRACED (one compiled step serves any
     effort mix; a slot with effort 0 contributes nothing to the weight
     reads). Returns (logits [B, vocab], k_cache, v_cache).
+
+    kv_quant=True: caches are int8 (data, scale) tuples per side —
+    (kd [L,B,S,KV,D] int8, ks [L,B,S,KV] f32) — halving the serving KV
+    HBM (the batch cache is B times the single-stream one).
     """
     B = toks.shape[0]
     KV, D = cfg.n_kv_heads, cfg.head_dim
@@ -497,6 +516,16 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
 
     q_out = cfg.n_heads * D
     kv_out = KV * D
+
+    def _upd_data(cache_l, rows, dtype=None):
+        # cache_l [B, S, ...]; rows [B, ...] written at per-slot pos
+        return jax.vmap(lambda c, r, p: jax.lax.dynamic_update_slice(
+            c, r.astype(c.dtype)[None], (p,) + (0,) * (c.ndim - 1)))(
+            cache_l, rows, pos)
+
+    def _upd_layer(cache, l, new_l):
+        return jax.lax.dynamic_update_slice(
+            cache, new_l[None], (l,) + (0,) * (cache.ndim - 1))
 
     def layer_step(carry, l):
         Hc, k_cache, v_cache = carry
@@ -515,17 +544,27 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
         Q = rope(Q.reshape(B, cfg.n_heads, D), rpos, D,
                  cfg.rope_theta).reshape(B, -1)
         K = rope(K.reshape(B, KV, D), rpos, D, cfg.rope_theta)
-        kc_l = jax.vmap(lambda c, k, p: jax.lax.dynamic_update_slice(
-            c, k.astype(c.dtype)[None], (p, 0, 0)))(k_cache[l], K, pos)
-        vc_l = jax.vmap(lambda c, v, p: jax.lax.dynamic_update_slice(
-            c, v.reshape(KV, D).astype(c.dtype)[None], (p, 0, 0)))(
-            v_cache[l], V, pos)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kc_l[None], (l, 0, 0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, vc_l[None], (l, 0, 0, 0, 0))
-        attn = jax.vmap(_attention, in_axes=(0, 0, 0, 0, None, 0))(
-            Q, kc_l, vc_l, pos, cfg, offs)
+        V = V.reshape(B, KV, D)
+        if kv_quant:
+            (kd, ks), (vd, vs) = k_cache, v_cache
+            kq, ksc = quantize_kv_rows(K.astype(jnp.float32))
+            vq, vsc = quantize_kv_rows(V.astype(jnp.float32))
+            kd_l = _upd_data(kd[l], kq)
+            ks_l = _upd_data(ks[l], ksc)
+            vd_l = _upd_data(vd[l], vq)
+            vs_l = _upd_data(vs[l], vsc)
+            k_cache = (_upd_layer(kd, l, kd_l), _upd_layer(ks, l, ks_l))
+            v_cache = (_upd_layer(vd, l, vd_l), _upd_layer(vs, l, vs_l))
+            attn = jax.vmap(_attention_q8,
+                            in_axes=(0, 0, 0, 0, 0, 0, None, 0))(
+                Q, kd_l, ks_l, vd_l, vs_l, pos, cfg, offs)
+        else:
+            kc_l = _upd_data(k_cache[l], K)
+            vc_l = _upd_data(v_cache[l], V)
+            k_cache = _upd_layer(k_cache, l, kc_l)
+            v_cache = _upd_layer(v_cache, l, vc_l)
+            attn = jax.vmap(_attention, in_axes=(0, 0, 0, 0, None, 0))(
+                Q, kc_l, vc_l, pos, cfg, offs)
         Hc = Hc + _mv_batch(layer.wo, attn, efforts, l, impl)
         Fn = rms_norm(Hc, layer.ffn_norm[l], cfg.norm_eps)
         if cfg.n_experts == 1:

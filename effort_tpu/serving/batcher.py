@@ -49,7 +49,12 @@ class BatchEngine:
 
     def __init__(self, weights: ModelWeights, cfg: ModelConfig,
                  batch_size: int = 4, pad_to: int = 32, eos_id: int = 2,
-                 impl: str = "jnp", prefill_impl: str = "auto"):
+                 impl: str = "jnp", prefill_impl: str = "auto",
+                 kv_dtype: str = "bf16"):
+        """kv_dtype='int8' stores the batch KV cache quantized (data +
+        per-(slot, head) scale): half the serving KV HBM — the batch
+        cache is batch_size times the single-stream one, so this is
+        where the bytes live."""
         self.w = weights
         self.cfg = cfg
         self.B = batch_size
@@ -57,10 +62,20 @@ class BatchEngine:
         self.eos_id = eos_id
         self.impl = impl
         self.prefill_impl = prefill_impl
+        assert kv_dtype in ("bf16", "int8"), kv_dtype
+        self.kv_quant = kv_dtype == "int8"
         L, S = cfg.n_layers, cfg.max_seq_len
         KV, D = cfg.n_kv_heads, cfg.head_dim
-        self.k_cache = jnp.zeros((L, batch_size, S, KV, D), jnp.bfloat16)
-        self.v_cache = jnp.zeros((L, batch_size, S, KV, D), jnp.bfloat16)
+        if self.kv_quant:
+            z8 = jnp.zeros((L, batch_size, S, KV, D), jnp.int8)
+            zs = jnp.zeros((L, batch_size, S, KV), jnp.float32)
+            self.k_cache = (z8, zs)
+            self.v_cache = (jnp.zeros_like(z8), jnp.zeros_like(zs))
+        else:
+            self.k_cache = jnp.zeros((L, batch_size, S, KV, D),
+                                     jnp.bfloat16)
+            self.v_cache = jnp.zeros((L, batch_size, S, KV, D),
+                                     jnp.bfloat16)
         # device-side per-slot state
         self.tokens = jnp.zeros((batch_size,), jnp.int32)
         self.pos = jnp.zeros((batch_size,), jnp.int32)
@@ -75,6 +90,31 @@ class BatchEngine:
         key = ("prefill", P)
         if key not in self._fns:
             def f(w, ids_lp, b, offset, effort, k_cache, v_cache):
+                if self.kv_quant:
+                    # prefill into a one-slot bf16 scratch, then
+                    # quantize the whole slice into the int8 cache
+                    from effort_tpu.models.transformer import (
+                        make_kv_cache, quantize_kv_rows)
+                    kc_s, vc_s = make_kv_cache(self.cfg)
+                    logits, kc_s, vc_s = forward_seq(
+                        w, self.cfg, ids_lp, kc_s, vc_s, start_slot=0,
+                        rope_offset=offset, mask_from=offset,
+                        effort=effort, impl=self.prefill_impl)
+                    (kd, ks), (vd, vs) = k_cache, v_cache
+                    kq, ksc = quantize_kv_rows(kc_s.astype(jnp.float32))
+                    vq, vsc = quantize_kv_rows(vc_s.astype(jnp.float32))
+                    k_cache = (
+                        jax.lax.dynamic_update_slice(
+                            kd, kq[:, None], (0, b, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            ks, ksc[:, None], (0, b, 0, 0)))
+                    v_cache = (
+                        jax.lax.dynamic_update_slice(
+                            vd, vq[:, None], (0, b, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            vs, vsc[:, None], (0, b, 0, 0)))
+                    return jnp.argmax(logits[-1]).astype(jnp.int32), \
+                        k_cache, v_cache
                 kc_b, vc_b = k_cache[:, b], v_cache[:, b]
                 logits, kc_b, vc_b = forward_seq(
                     w, self.cfg, ids_lp, kc_b, vc_b, start_slot=0,
@@ -101,7 +141,7 @@ class BatchEngine:
                 # elsewhere it vmaps the jnp semantics path.
                 logits, k_cache, v_cache = forward_token_batch(
                     w, self.cfg, toks, pos, k_cache, v_cache, efforts,
-                    offs=offs, impl=self.impl)
+                    offs=offs, impl=self.impl, kv_quant=self.kv_quant)
                 return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
                         k_cache, v_cache)
             self._fns[key] = jax.jit(step)

@@ -271,13 +271,13 @@ def make_server(engine, tokenizer=None, **kw) -> EffortServer:
 
 def make_batch_server(weights, cfg, tokenizer=None, batch_size: int = 4,
                       pad_to: int = 32, impl: str = "jnp",
-                      **kw) -> EffortServer:
+                      kv_dtype: str = "bf16", **kw) -> EffortServer:
     """Server in continuous-batching mode: concurrent /q requests share
-    batched decode steps."""
+    batched decode steps. kv_dtype='int8' halves the batch KV HBM."""
     from effort_tpu.models.generate import Engine
     from effort_tpu.serving.batcher import BatchEngine, ContinuousBatcher
     be = BatchEngine(weights, cfg, batch_size=batch_size, pad_to=pad_to,
-                     impl=impl)
+                     impl=impl, kv_dtype=kv_dtype)
     eng = Engine(weights, cfg, tokenizer=tokenizer, impl=impl,
                  pad_to=pad_to)  # eval (tokids) path
     return EffortServer(eng, tokenizer=tokenizer,

@@ -54,3 +54,29 @@ def test_engine_quant_kv_generates():
     agree = sum(x == y for x, y in zip(a.token_ids, b.token_ids))
     assert agree >= len(a.token_ids) // 2, (a.token_ids, b.token_ids)
     assert len(b.token_ids) == 12
+
+
+def test_batch_engine_int8_kv():
+    """int8 batch cache: slots decode close to the bf16 batch cache."""
+    from effort_tpu.serving.batcher import BatchEngine, ContinuousBatcher
+    cfg = tiny_test_model(max_seq_len=64)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8),
+                            seed=1)
+    prompts = [[1, 5, 9], [4, 8, 15, 16]]
+    outs = {}
+    for dtype in ("bf16", "int8"):
+        be = BatchEngine(w, cfg, batch_size=2, pad_to=8, impl="jnp",
+                         prefill_impl="jnp", kv_dtype=dtype)
+        cb = ContinuousBatcher(be)
+        res = {}
+        for i, p in enumerate(prompts):
+            cb.submit(p, 8, 1.0, lambda o, i=i: res.__setitem__(i, o))
+        cb.run_until_drained()
+        outs[dtype] = res
+    if dtype == "int8":
+        (kd, _), _ = be.k_cache, be.v_cache
+        assert kd.dtype == jnp.int8
+    for i in range(len(prompts)):
+        a, b = outs["bf16"][i], outs["int8"][i]
+        agree = sum(x == y for x, y in zip(a, b))
+        assert agree >= len(a) // 2, (i, a, b)
