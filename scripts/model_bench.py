@@ -6,7 +6,10 @@ per-token time via the two-length slope of the jitted decode scan
 runNetwork.swift:299-303).
 
 Usage: model_bench.py [n_layers] [dtype] [efforts_csv] [bucket_size]
-       [calibrate 0|1] [fuse 0|1] [qhead 0|1] [percent_load]
+       [calibrate 0|1] [fuse 0|1] [qhead 0|1] [percent_load] [experts]
+
+experts > 1 benches Mixtral dims (top-2 MoE; the reference's Mixtral is
+"one bug away from working", docs/q8.html — ours decodes).
 """
 
 import sys
@@ -33,11 +36,17 @@ def main():
     fuse = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
     qhead = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
     pload = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
-    cfg = mistral_7b(n_layers=L, max_seq_len=256)
+    experts = int(sys.argv[9]) if len(sys.argv) > 9 else 1
+    if experts > 1:
+        from effort_tpu.config import mixtral_8x7b
+        cfg = mixtral_8x7b(n_layers=L, n_experts=experts, max_seq_len=256)
+    else:
+        cfg = mistral_7b(n_layers=L, max_seq_len=256)
     bcfg = BucketConfig(bucket_size=B, chunk_rows=16 if B > 1 else 128,
                         dtype=dtype)
     t0 = time.time()
-    keep_dense = dtype == "bf16" and L <= 8   # dense copies blow HBM at depth
+    # dense copies blow HBM at depth (and at 8 experts)
+    keep_dense = dtype == "bf16" and L <= 8 and experts == 1
     # percent_load applies DURING assembly: the full-size model is never
     # resident (a 32L int8 model does not fit this device's free HBM)
     w = init_random_weights(cfg, bcfg, seed=0, keep_dense=keep_dense,

@@ -35,4 +35,7 @@ run_step int4_32L python scripts/model_bench.py 32 int4 1.0,0.5,0.25 1 1 1 1 1.0
 run_step int4_4L python scripts/model_bench.py 4 int4 1.0,0.5,0.25 1 1 1 1 1.0
 # 4. speculative decode speed (8L, row-prefix bf16)
 run_step spec python scripts/spec_bench.py 8 bf16 4,8 0.25,0.15
+# 5. Mixtral-dims MoE decode, int8 buckets (the reference's Mixtral is
+#    broken; ours decodes — measure it)
+run_step moe_4L python scripts/model_bench.py 4 int8 1.0,0.5,0.25 1 0 0 1 1.0 8
 echo "$(date +%T) queue complete"
