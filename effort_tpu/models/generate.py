@@ -146,9 +146,12 @@ def _prompt_logits_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
 
 def _prefill_decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
                          prompt_len, n_new, effort: float, impl: str,
-                         eos_id: int, prefill_impl: str = "auto"):
+                         eos_id: int, prefill_impl: str = "auto",
+                         sampled: bool = False, top_k: int = 0,
+                         temperature=0.0, top_p=1.0, rng_key=None):
     """Batched-prefill generation: the prompt runs through forward_seq in
-    ONE pass (MXU matmuls over [P, dim]), then n_new greedy decode steps.
+    ONE pass (MXU matmuls over [P, dim]), then n_new decode steps
+    (greedy, or sampled — see _pick_token).
 
     The prompt is LEFT-padded inside the fixed [P] buffer so the cache
     layout is contiguous for any runtime prompt_len: rotary positions are
@@ -161,26 +164,31 @@ def _prefill_decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
     idx = jnp.arange(P, dtype=jnp.int32) - offset
     ids_lp = jnp.where(idx >= 0,
                        prompt_ids[jnp.clip(idx, 0, P - 1)], 0)
+    if rng_key is None:
+        rng_key = jax.random.key(0)
 
     k_cache, v_cache = make_kv_cache(cfg)
     logits_all, k_cache, v_cache = forward_seq(
         w, cfg, ids_lp, k_cache, v_cache, start_slot=0, rope_offset=offset,
         mask_from=offset, effort=effort, impl=prefill_impl)
     prefill_preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
-    first_gen = prefill_preds[-1]
+    rng_key, sub = jax.random.split(rng_key)
+    first_gen = _pick_token(logits_all[-1], sub, sampled, top_k,
+                            temperature, top_p)
 
     def step(carry, i):
-        tok, k_cache, v_cache, done = carry
+        tok, k_cache, v_cache, done, key = carry
         slot = P + i
         logits, k_cache, v_cache = forward_token(
             w, cfg, tok, slot, k_cache, v_cache, effort=effort, impl=impl,
             rope_offset=offset, mask_from=offset)
-        pred = jnp.argmax(logits).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        pred = _pick_token(logits, sub, sampled, top_k, temperature, top_p)
         done = done | (tok == eos_id)
-        return (pred, k_cache, v_cache, done), tok
+        return (pred, k_cache, v_cache, done, key), tok
 
-    (_, _, _, _), gen_ids = jax.lax.scan(
-        step, (first_gen, k_cache, v_cache, jnp.asarray(False)),
+    (_, _, _, _, _), gen_ids = jax.lax.scan(
+        step, (first_gen, k_cache, v_cache, jnp.asarray(False), rng_key),
         jnp.arange(n_new, dtype=jnp.int32))
     return gen_ids, prefill_preds
 
@@ -378,7 +386,8 @@ class Engine:
                 self._fns[key] = jax.jit(partial(
                     _prefill_decode_scan, cfg=self.cfg, n_new=n_new,
                     effort=effort, impl=self.impl, eos_id=self.eos_id,
-                    prefill_impl=self.prefill_impl))
+                    prefill_impl=self.prefill_impl, sampled=sampled,
+                    top_k=top_k))
             elif self.dynamic_effort:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
@@ -405,8 +414,6 @@ class Engine:
         assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
             "sequence too long (use ring_kv for unbounded decode)"
         sampled = temperature > 0.0
-        assert not (sampled and self.prefill), \
-            "sampling not wired into the prefill engine yet"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._fn(P, n_new, effort, sampled, top_k if sampled else 0)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})

@@ -97,3 +97,20 @@ def test_spec_refuses_non_full_kv():
     import pytest as _pt
     with _pt.raises(AssertionError, match="full bf16 cache"):
         eng.generate_speculative([1, 5], n_new=4)
+
+
+def test_prefill_engine_sampling():
+    from effort_tpu.config import tiny_test_model, BucketConfig
+    from effort_tpu.models.transformer import init_random_weights
+    cfg = tiny_test_model(max_seq_len=96)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8),
+                            seed=1)
+    eng = Engine(w, cfg, impl="jnp", pad_to=8, prefill=True,
+                 prefill_impl="jnp")
+    g = eng.generate([1, 5, 9], n_new=8)
+    s1 = eng.generate([1, 5, 9], n_new=8, temperature=0.8, seed=4)
+    s2 = eng.generate([1, 5, 9], n_new=8, temperature=0.8, seed=4)
+    assert s1.token_ids == s2.token_ids
+    assert len(s1.token_ids) == 8
+    t1 = eng.generate([1, 5, 9], n_new=8, temperature=1.5, top_k=1)
+    assert t1.token_ids == g.token_ids
