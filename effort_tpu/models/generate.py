@@ -566,6 +566,20 @@ class Engine:
             return logits[P - len(prompt_ids):]
         return logits[:len(prompt_ids)]
 
+    def score(self, token_ids: Sequence[int], effort: float = 1.0):
+        """Teacher-forced per-token log-probabilities of a given text:
+        returns [len(token_ids)-1] floats, entry i = log p(token_ids[i+1]
+        | token_ids[:i+1]) at `effort`. Mean negative of this is the NLL
+        (exp -> perplexity) — the standard scale for comparing effort
+        against quantization on held-out text."""
+        import numpy as np
+        logits = self.position_logits(token_ids, effort=effort)
+        x = np.asarray(logits[:-1], np.float64)
+        x -= x.max(axis=-1, keepdims=True)
+        lse = np.log(np.exp(x).sum(axis=-1))
+        nxt = np.asarray(token_ids[1:], np.int64)
+        return x[np.arange(len(nxt)), nxt] - lse
+
     def answer_limited(self, prompt_ids: Sequence[int],
                        allowed_ids: Sequence[int],
                        effort: float = 1.0) -> int:

@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_after_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles ~150 whole-model scan graphs in one process; past
+    roughly a hundred, the XLA CPU client aborts/segfaults inside
+    backend_compile_and_load (reproduced at the same test index across
+    runs; any module passes in isolation). Module-scoped engine fixtures
+    die at module end anyway, so dropping the executable cache costs
+    only intra-module reuse."""
+    yield
+    jax.clear_caches()

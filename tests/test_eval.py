@@ -94,3 +94,19 @@ def test_run_quiz_mechanism(engine):
     scores = run_quiz(engine, quiz, _FakeTok(), efforts=[1.0, 0.3])
     assert set(scores) == {1.0, 0.3}
     assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+def test_engine_score_logprobs(engine):
+    ids = [1, 5, 9, 2, 7]
+    lp = engine.score(ids, effort=1.0)
+    assert lp.shape == (len(ids) - 1,)
+    assert np.all(lp <= 0.0)
+    # consistency: score picks from the same distributions position_logits
+    # exposes
+    pl = engine.position_logits(ids, effort=1.0)
+    from effort_tpu.eval.harness import log_softmax
+    want = log_softmax(pl[:-1])[np.arange(len(ids) - 1), ids[1:]]
+    np.testing.assert_allclose(lp, want, rtol=1e-9, atol=1e-9)
+    # greedy text scores itself higher at full effort than at 4% effort
+    # in NLL terms on average is NOT guaranteed on random weights, so no
+    # cross-effort assertion here — kl_divergence_sweep covers that axis.
