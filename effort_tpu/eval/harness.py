@@ -99,6 +99,18 @@ def kl_divergence_sweep(engine, prompt_ids: Sequence[int],
     return out
 
 
+def nll_sweep(engine, token_ids: Sequence[int],
+              efforts: Optional[Sequence[float]] = None
+              ) -> Dict[float, float]:
+    """Mean teacher-forced negative log-likelihood (nats/token) of a
+    text per effort; exp() of a value is the perplexity. Uses
+    Engine.score — the held-out-text scale on which effort can be
+    compared against quantization directly."""
+    efforts = list(efforts or effort_scale())
+    return {e: float(-np.mean(engine.score(token_ids, effort=e)))
+            for e in efforts}
+
+
 def run_quiz(engine, quiz: List[dict], tokenizer,
              efforts: Optional[Sequence[float]] = None,
              shuffle_seed: int = 0, progress=None) -> Dict[float, float]:

@@ -110,3 +110,10 @@ def test_engine_score_logprobs(engine):
     # greedy text scores itself higher at full effort than at 4% effort
     # in NLL terms on average is NOT guaranteed on random weights, so no
     # cross-effort assertion here — kl_divergence_sweep covers that axis.
+
+
+def test_nll_sweep(engine):
+    from effort_tpu.eval.harness import nll_sweep
+    out = nll_sweep(engine, [1, 5, 9, 2, 7], efforts=[1.0, 0.3])
+    assert set(out) == {1.0, 0.3}
+    assert all(v > 0 for v in out.values())   # NLL in nats
