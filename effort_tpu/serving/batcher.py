@@ -31,7 +31,8 @@ import numpy as np
 
 from effort_tpu.config import ModelConfig
 from effort_tpu.models.transformer import (ModelWeights, forward_seq,
-                                           forward_token)
+                                           forward_token,
+                                           forward_token_batch)
 
 
 @dataclasses.dataclass
@@ -50,11 +51,19 @@ class BatchEngine:
     def __init__(self, weights: ModelWeights, cfg: ModelConfig,
                  batch_size: int = 4, pad_to: int = 32, eos_id: int = 2,
                  impl: str = "jnp", prefill_impl: str = "auto",
-                 kv_dtype: str = "bf16"):
+                 kv_dtype: str = "bf16", spec_k: int = 0,
+                 spec_draft_effort: float = 0.25):
         """kv_dtype='int8' stores the batch KV cache quantized (data +
         per-(slot, head) scale): half the serving KV HBM — the batch
         cache is batch_size times the single-stream one, so this is
-        where the bytes live."""
+        where the bytes live.
+
+        spec_k > 0 enables SPECULATIVE continuous batching: every step,
+        all active slots draft spec_k tokens at spec_draft_effort, then
+        one vmapped batched verify pass at each slot's own effort scores
+        all drafts — slots emit 1..spec_k tokens per step, each exactly
+        what their configured effort would have produced (same
+        draft/verify contract as Engine.generate_speculative)."""
         self.w = weights
         self.cfg = cfg
         self.B = batch_size
@@ -64,6 +73,11 @@ class BatchEngine:
         self.prefill_impl = prefill_impl
         assert kv_dtype in ("bf16", "int8"), kv_dtype
         self.kv_quant = kv_dtype == "int8"
+        self.spec_k = spec_k
+        self.spec_draft_effort = spec_draft_effort
+        assert not (spec_k and self.kv_quant), (
+            "speculative batching verifies through forward_seq, which "
+            "writes bf16 KV rows; no int8 hook path yet")
         L, S = cfg.n_layers, cfg.max_seq_len
         KV, D = cfg.n_kv_heads, cfg.head_dim
         if self.kv_quant:
@@ -129,10 +143,61 @@ class BatchEngine:
             self._fns[key] = jax.jit(f)
         return self._fns[key]
 
+    def _spec_step_fn(self):
+        """Draft spec_k tokens per slot (batched steps at the draft
+        effort), verify all of them in one vmapped forward_seq per slot
+        at the slot's own effort, accept the agreeing prefix + bonus."""
+        key = "spec_step"
+        if key not in self._fns:
+            k = self.spec_k
+            d_eff = self.spec_draft_effort
+
+            def step(w, toks, pos, offs, efforts, remaining,
+                     k_cache, v_cache):
+                draft_eff = jnp.where(efforts > 0, d_eff, 0.0)
+
+                def dstep(c, i):
+                    t, kc, vc = c
+                    lg, kc, vc = forward_token_batch(
+                        w, self.cfg, t, pos + i, kc, vc, draft_eff,
+                        offs=offs, impl=self.impl)
+                    return (jnp.argmax(lg, axis=-1).astype(jnp.int32),
+                            kc, vc), t
+
+                (_, k_cache, v_cache), consumed = jax.lax.scan(
+                    dstep, (toks, k_cache, v_cache),
+                    jnp.arange(k, dtype=jnp.int32))
+                # consumed [k, B]: tokens fed at positions pos..pos+k-1
+
+                def verify_one(seq, kc_b, vc_b, p, off, eff):
+                    return forward_seq(
+                        w, self.cfg, seq, kc_b, vc_b, start_slot=p,
+                        rope_offset=off, mask_from=off, effort=eff,
+                        impl=self.prefill_impl)
+
+                logits, k_cache, v_cache = jax.vmap(
+                    verify_one, in_axes=(1, 1, 1, 0, 0, 0),
+                    out_axes=(0, 1, 1))(consumed, k_cache, v_cache,
+                                        pos, offs, efforts)
+                vtoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                dt = consumed.T                              # [B, k]
+                # accept while the NEXT consumed token matched the
+                # verifier's prediction (consumed[i+1] == vtoks[:, i])
+                match = dt[:, 1:] == vtoks[:, :-1]
+                acc = jnp.cumprod(match.astype(jnp.int32), axis=1
+                                  ).sum(axis=1)              # 0..k-1
+                n_emit = jnp.clip(acc + 1, 1, jnp.maximum(remaining, 1))
+                toks2 = vtoks[jnp.arange(vtoks.shape[0]), n_emit - 1]
+                pos2 = jnp.minimum(pos + n_emit,
+                                   self.cfg.max_seq_len - 1)
+                return vtoks, n_emit, toks2, pos2, k_cache, v_cache
+
+            self._fns[key] = jax.jit(step)
+        return self._fns[key]
+
     def _step_fn(self):
         key = "step"
         if key not in self._fns:
-            from effort_tpu.models.transformer import forward_token_batch
 
             def step(w, toks, pos, offs, efforts, k_cache, v_cache):
                 # forward_token_batch routes each projection to ONE
@@ -160,7 +225,8 @@ class BatchEngine:
         """Prefill prompt into slot b; slot joins the next decode step."""
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
-        assert P + n_new <= self.cfg.max_seq_len, "sequence too long"
+        assert P + n_new + self.spec_k <= self.cfg.max_seq_len, \
+            "sequence too long"
         offset = P - len(prompt_ids)
         ids_lp = [0] * offset + list(prompt_ids)
         first, self.k_cache, self.v_cache = self._prefill_fn(P)(
@@ -185,6 +251,8 @@ class BatchEngine:
         act = self.active()
         if not act:
             return []
+        if self.spec_k:
+            return self._step_spec(act)
         # inactive slots decode at effort 0: near-zero weight reads
         act_mask = jnp.asarray([0.0 if s.done else 1.0
                                 for s in self.slots], jnp.float32)
@@ -207,6 +275,35 @@ class BatchEngine:
         self.pos = self.pos + 1  # inactive slots advance harmlessly (their
         # stale writes land in cells any future occupant re-writes)
         self.pos = jnp.minimum(self.pos, self.cfg.max_seq_len - 1)
+        return finished
+
+    def _step_spec(self, act: List[int]) -> List[int]:
+        """Speculative batched step: slots emit 1..spec_k tokens each."""
+        act_mask = jnp.asarray([0.0 if s.done else 1.0
+                                for s in self.slots], jnp.float32)
+        remaining = jnp.asarray(
+            [max(1, s.n_new - len(s.generated)) if not s.done else 1
+             for s in self.slots], jnp.int32)
+        (vtoks, n_emit, self.tokens, self.pos, self.k_cache,
+         self.v_cache) = self._spec_step_fn()(
+            self.w, self.tokens, self.pos, self.offs,
+            self.efforts * act_mask, remaining,
+            self.k_cache, self.v_cache)
+        vt = np.asarray(jax.device_get(vtoks))
+        ne = np.asarray(jax.device_get(n_emit))
+        finished = []
+        for b in act:
+            st = self.slots[b]
+            for tok in vt[b, :ne[b]]:
+                st.generated.append(int(tok))
+                if int(tok) == self.eos_id:
+                    break
+            if (self.eos_id in st.generated or
+                    len(st.generated) >= st.n_new or
+                    int(self.pos[b]) + self.spec_k
+                    >= self.cfg.max_seq_len - 1):
+                st.done = True
+                finished.append(b)
         return finished
 
     def result(self, b: int) -> List[int]:
@@ -251,21 +348,23 @@ class ContinuousBatcher:
             if on_tok is not None:
                 self._on_token[rid] = on_tok
             self.eng.admit(b, rid, ids, n_new, effort)
-            self._emit(b)                  # prefill produced a first token
+            self._emit_from(b, 0)          # prefill produced a first token
             if self.eng.slots[b].done:     # finished at prefill (n_new<=1)
                 self._finish(b)
         act = self.eng.active()
+        pre = {b: len(self.eng.slots[b].generated) for b in act}
         finished = self.eng.step()
-        for b in act:                      # every active slot gained a token
-            self._emit(b)
+        for b in act:   # emit every token the step landed (spec steps
+            self._emit_from(b, pre[b])     # can land several per slot)
         for b in finished:
             self._finish(b)
 
-    def _emit(self, b: int) -> None:
+    def _emit_from(self, b: int, start: int) -> None:
         st = self.eng.slots[b]
         on_tok = self._on_token.get(st.request_id)
-        if on_tok is not None and st.generated:
-            on_tok(st.generated[-1])
+        if on_tok is not None:
+            for tok in st.generated[start:]:
+                on_tok(tok)
 
     def _finish(self, b: int) -> None:
         st = self.eng.slots[b]

@@ -271,13 +271,18 @@ def make_server(engine, tokenizer=None, **kw) -> EffortServer:
 
 def make_batch_server(weights, cfg, tokenizer=None, batch_size: int = 4,
                       pad_to: int = 32, impl: str = "jnp",
-                      kv_dtype: str = "bf16", **kw) -> EffortServer:
+                      kv_dtype: str = "bf16", spec_k: int = 0,
+                      spec_draft_effort: float = 0.25,
+                      **kw) -> EffortServer:
     """Server in continuous-batching mode: concurrent /q requests share
-    batched decode steps. kv_dtype='int8' halves the batch KV HBM."""
+    batched decode steps. kv_dtype='int8' halves the batch KV HBM;
+    spec_k>0 enables speculative batching (1..spec_k tokens per slot per
+    step, token-exact vs plain decode at each slot's effort)."""
     from effort_tpu.models.generate import Engine
     from effort_tpu.serving.batcher import BatchEngine, ContinuousBatcher
     be = BatchEngine(weights, cfg, batch_size=batch_size, pad_to=pad_to,
-                     impl=impl, kv_dtype=kv_dtype)
+                     impl=impl, kv_dtype=kv_dtype, spec_k=spec_k,
+                     spec_draft_effort=spec_draft_effort)
     eng = Engine(weights, cfg, tokenizer=tokenizer, impl=impl,
                  pad_to=pad_to)  # eval (tokids) path
     return EffortServer(eng, tokenizer=tokenizer,
@@ -293,6 +298,12 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch", type=int, default=0,
                    help="continuous-batching slots (0 = single-flight)")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="batch KV cache dtype (int8 = half the HBM)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative batching: drafted tokens per slot "
+                        "per step (0 = off)")
+    p.add_argument("--draft-effort", type=float, default=0.25)
     args = p.parse_args()
 
     from effort_tpu.models.generate import Engine
@@ -311,7 +322,10 @@ def main():
                                                   chunk_rows=8))
     if args.batch > 0:
         srv = make_batch_server(w, cfg, tokenizer=tok,
-                                batch_size=args.batch, port=args.port)
+                                batch_size=args.batch, port=args.port,
+                                kv_dtype=args.kv_dtype,
+                                spec_k=args.spec_k,
+                                spec_draft_effort=args.draft_effort)
     else:
         eng = Engine(w, cfg, tokenizer=tok)
         srv = EffortServer(eng, tokenizer=tok, port=args.port)

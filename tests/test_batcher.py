@@ -141,3 +141,39 @@ def test_batch_matches_single_with_window():
     cb.run_until_drained()
     for i in range(len(prompts)):
         assert results[i] == refs[i], (i, results[i], refs[i])
+
+
+def test_speculative_batching_matches_plain(model):
+    """spec_k slots emit exactly what plain batched decode emits at the
+    same per-slot efforts (verify-argmax contract), several per step."""
+    cfg, w = model
+    prompts = [[1, 5, 9], [4, 8, 15, 16, 23]]
+    efforts = [1.0, 0.6]
+    n_new = 8
+
+    def run(**kw):
+        be = BatchEngine(w, cfg, batch_size=2, pad_to=8, impl="jnp",
+                         prefill_impl="jnp", **kw)
+        cb = ContinuousBatcher(be)
+        res = {}
+        for i, (p, e) in enumerate(zip(prompts, efforts)):
+            cb.submit(p, n_new, e, lambda o, i=i: res.__setitem__(i, o))
+        cb.run_until_drained()
+        return res, be
+
+    plain, _ = run()
+    spec, be = run(spec_k=4, spec_draft_effort=0.3)
+    for i in range(len(prompts)):
+        assert spec[i] == plain[i], (i, spec[i], plain[i])
+
+
+def test_speculative_batching_streams_all_tokens(model):
+    cfg, w = model
+    be = BatchEngine(w, cfg, batch_size=2, pad_to=8, impl="jnp",
+                     prefill_impl="jnp", spec_k=4)
+    cb = ContinuousBatcher(be)
+    streamed, res = [], {}
+    cb.submit([1, 5, 9], 6, 1.0, lambda o: res.__setitem__(0, o),
+              on_token=streamed.append)
+    cb.run_until_drained()
+    assert streamed == res[0]
