@@ -574,11 +574,17 @@ class Engine:
         against quantization on held-out text."""
         import numpy as np
         logits = self.position_logits(token_ids, effort=effort)
-        x = np.asarray(logits[:-1], np.float64)
-        x -= x.max(axis=-1, keepdims=True)
-        lse = np.log(np.exp(x).sum(axis=-1))
         nxt = np.asarray(token_ids[1:], np.int64)
-        return x[np.arange(len(nxt)), nxt] - lse
+        out = np.empty(len(nxt), np.float64)
+        # chunked f32 logsumexp: a [T, 32000] f64 copy + exp would cost
+        # ~GBs of host RAM per (text, effort) point of an nll sweep
+        for i in range(0, len(nxt), 256):
+            x = np.asarray(logits[i:i + len(nxt[i:i + 256])], np.float32)
+            m = x.max(axis=-1)
+            lse = m + np.log(np.exp(x - m[:, None]).sum(axis=-1))
+            j = np.arange(x.shape[0])
+            out[i:i + x.shape[0]] = x[j, nxt[i:i + x.shape[0]]] - lse
+        return out
 
     def answer_limited(self, prompt_ids: Sequence[int],
                        allowed_ids: Sequence[int],

@@ -247,13 +247,8 @@ def quant_kv_hooks(cfg: ModelConfig):
 
     def attn(q, k_cache, v_cache, l, pos):
         (kd, ks), (vd, vs) = k_cache, v_cache
-        kf = kd[l].astype(jnp.float32) * ks[l][..., None]   # [S, KV, D]
-        vf = vd[l].astype(jnp.float32) * vs[l][..., None]
-        t_ids = jnp.arange(cfg.max_seq_len)
-        live = t_ids <= pos
-        if active_window(cfg):
-            live &= t_ids > pos - cfg.sliding_window
-        return _attn_core(q, kf, vf, live, cfg)
+        # decode-only hook: no left-padded prefill, so mask_from=0
+        return _attention_q8(q, kd[l], ks[l], vd[l], vs[l], pos, cfg, 0)
 
     return upd, attn
 

@@ -105,8 +105,10 @@ class BatchEngine:
         if key not in self._fns:
             def f(w, ids_lp, b, offset, effort, k_cache, v_cache):
                 if self.kv_quant:
-                    # prefill into a one-slot bf16 scratch, then
-                    # quantize the whole slice into the int8 cache
+                    # prefill into a one-slot bf16 scratch, then quantize
+                    # ONLY the P written rows into the int8 cache (rows
+                    # >= P are stale and masked until rewritten, exactly
+                    # as the bf16 branch relies on)
                     from effort_tpu.models.transformer import (
                         make_kv_cache, quantize_kv_rows)
                     kc_s, vc_s = make_kv_cache(self.cfg)
@@ -115,8 +117,10 @@ class BatchEngine:
                         rope_offset=offset, mask_from=offset,
                         effort=effort, impl=self.prefill_impl)
                     (kd, ks), (vd, vs) = k_cache, v_cache
-                    kq, ksc = quantize_kv_rows(kc_s.astype(jnp.float32))
-                    vq, vsc = quantize_kv_rows(vc_s.astype(jnp.float32))
+                    kq, ksc = quantize_kv_rows(
+                        kc_s[:, :P].astype(jnp.float32))
+                    vq, vsc = quantize_kv_rows(
+                        vc_s[:, :P].astype(jnp.float32))
                     k_cache = (
                         jax.lax.dynamic_update_slice(
                             kd, kq[:, None], (0, b, 0, 0, 0)),

@@ -33,10 +33,15 @@ from typing import Optional
 
 class EffortServer:
     def __init__(self, engine, tokenizer=None, host="127.0.0.1", port=8089,
-                 max_queue: int = 32, batcher=None):
+                 max_queue: int = 32, batcher=None, spec_k: int = 0,
+                 spec_draft_effort: float = 0.25):
+        """spec_k (single-flight mode): serve full-effort requests via
+        Engine.generate_speculative (k drafts per verify round)."""
         self.engine = engine
         self.tokenizer = tokenizer
         self.batcher = batcher          # ContinuousBatcher or None
+        self.spec_k = spec_k
+        self.spec_draft_effort = spec_draft_effort
         self.host, self.port = host, port
         self.queue: asyncio.Queue = asyncio.Queue(maxsize=max_queue)
         self.stats = {"requests": 0, "tokens": 0, "busy_rejects": 0}
@@ -108,12 +113,21 @@ class EffortServer:
 
         query = params.get("query", [""])[0]
         ids = self._encode_query(query)
-        reply = self.engine.generate(
-            ids, n_new=n_tokens, effort=effort,
-            temperature=float(params.get("temperature", ["0"])[0]),
-            top_k=int(params.get("topk", ["0"])[0]),
-            top_p=float(params.get("topp", ["1.0"])[0]),
-            seed=int(params.get("seed", ["0"])[0]))
+        temperature = float(params.get("temperature", ["0"])[0])
+        if self.spec_k and effort >= 1.0 and temperature <= 0:
+            # speculative serving: full-effort greedy output at draft
+            # speed (sampled / reduced-effort requests take the plain
+            # path — the verify pass is effort-1.0 greedy by contract)
+            reply = self.engine.generate_speculative(
+                ids, n_new=n_tokens, draft_effort=self.spec_draft_effort,
+                k=self.spec_k)
+        else:
+            reply = self.engine.generate(
+                ids, n_new=n_tokens, effort=effort,
+                temperature=temperature,
+                top_k=int(params.get("topk", ["0"])[0]),
+                top_p=float(params.get("topp", ["1.0"])[0]),
+                seed=int(params.get("seed", ["0"])[0]))
         self.stats["tokens"] += len(reply.token_ids)
         return {"reply": reply.text or str(reply.token_ids),
                 "effort": effort,
@@ -327,8 +341,13 @@ def main():
                                 spec_k=args.spec_k,
                                 spec_draft_effort=args.draft_effort)
     else:
-        eng = Engine(w, cfg, tokenizer=tok)
-        srv = EffortServer(eng, tokenizer=tok, port=args.port)
+        assert not (args.spec_k and args.kv_dtype == "int8"), \
+            "single-flight speculative decode needs the full bf16 cache"
+        eng = Engine(w, cfg, tokenizer=tok,
+                     quant_kv=args.kv_dtype == "int8")
+        srv = EffortServer(eng, tokenizer=tok, port=args.port,
+                           spec_k=args.spec_k,
+                           spec_draft_effort=args.draft_effort)
     print(f"effort-tpu server on :{args.port}"
           + (f" (continuous batching x{args.batch})" if args.batch else ""))
     asyncio.run(srv.serve_forever())

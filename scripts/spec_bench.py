@@ -39,28 +39,30 @@ def main():
     prompt = list(range(2, 26))
     N = 128
 
-    def run_plain():
-        r = eng.generate(prompt, n_new=N, effort=1.0)
-        return r
+    def timed(fn):
+        # one consistent definition for BOTH paths: wall time of the
+        # post-compile call / emitted tokens (Reply.tokens_per_s counts
+        # prompt-consumption steps for generate but only emitted tokens
+        # for generate_speculative — mixing them biases the ratio)
+        r = fn()              # compile
+        t0 = time.time()
+        r = fn()
+        dt = time.time() - t0
+        return r, len(r.token_ids) / dt, dt * 1e3 / max(
+            len(r.token_ids), 1)
 
-    def run_spec(d, k):
-        return eng.generate_speculative(prompt, n_new=N, draft_effort=d,
-                                        k=k)
-
-    r = run_plain()          # compile
-    r = run_plain()
-    plain_tps = r.tokens_per_s
-    print(f"plain effort=1.0   : {r.eval_ms_per_token:6.2f} ms/tok "
+    r, plain_tps, plain_ms = timed(
+        lambda: eng.generate(prompt, n_new=N, effort=1.0))
+    print(f"plain effort=1.0   : {plain_ms:6.2f} ms/tok "
           f"({plain_tps:6.1f} tok/s)", flush=True)
     for k in ks:
         for d in drafts:
-            r = run_spec(d, k)   # compile
-            r = run_spec(d, k)
-            print(f"spec k={k} draft={d:4.2f}: "
-                  f"{r.eval_ms_per_token:6.2f} ms/tok "
-                  f"({r.tokens_per_s:6.1f} tok/s, "
+            r, tps, ms = timed(lambda d=d, k=k: eng.generate_speculative(
+                prompt, n_new=N, draft_effort=d, k=k))
+            print(f"spec k={k} draft={d:4.2f}: {ms:6.2f} ms/tok "
+                  f"({tps:6.1f} tok/s, "
                   f"{r.spec_tokens_per_iter:4.2f} tok/round, "
-                  f"{r.tokens_per_s/plain_tps:4.2f}x plain)", flush=True)
+                  f"{tps/plain_tps:4.2f}x plain)", flush=True)
 
 
 if __name__ == "__main__":

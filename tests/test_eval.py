@@ -106,7 +106,8 @@ def test_engine_score_logprobs(engine):
     pl = engine.position_logits(ids, effort=1.0)
     from effort_tpu.eval.harness import log_softmax
     want = log_softmax(pl[:-1])[np.arange(len(ids) - 1), ids[1:]]
-    np.testing.assert_allclose(lp, want, rtol=1e-9, atol=1e-9)
+    # score computes its logsumexp in chunked float32 (memory)
+    np.testing.assert_allclose(lp, want, rtol=1e-5, atol=1e-5)
     # greedy text scores itself higher at full effort than at 4% effort
     # in NLL terms on average is NOT guaranteed on random weights, so no
     # cross-effort assertion here — kl_divergence_sweep covers that axis.
