@@ -14,6 +14,11 @@ as a working asyncio service:
       reference's hitMiss path for Python-driven benchmarks)
   GET /health                                 -> {"status": "ok"}
   GET /stats                                  -> queue/throughput counters
+  POST /v1/completions                        -> OpenAI-compatible
+     completions: {prompt, max_tokens, temperature, top_p, seed,
+     stream} plus the extension field "effort" (0-1); responses and
+     SSE chunks use the text_completion schema, so standard OpenAI
+     clients work unchanged
 
 Requests are serialized through a single worker task (the reference used a
 busy-flag single-flight; here a queue so requests wait instead of being
@@ -141,22 +146,48 @@ class EffortServer:
                 writer.close()
                 return
             parts = line.decode().split()
-            while True:  # drain headers
+            headers = {}
+            while True:
                 h = await reader.readline()
                 if h in (b"\r\n", b"\n", b""):
                     break
+                k, _, v = h.decode().partition(":")
+                headers[k.strip().lower()] = v.strip()
             if len(parts) < 2:
                 await self._respond(writer, 400, {"error": "bad request"})
                 return
             path = urllib.parse.urlparse(parts[1])
             params = urllib.parse.parse_qs(path.query)
+            clen = int(headers.get("content-length", "0") or 0)
+            body = {}
+            if clen:
+                try:
+                    body = json.loads(await reader.readexactly(clen))
+                except (ValueError, asyncio.IncompleteReadError):
+                    await self._respond(writer, 400,
+                                        {"error": "bad JSON body"})
+                    return
             self.stats["requests"] += 1
+
+            openai = path.path == "/v1/completions"
+            if openai:
+                # OpenAI completions schema -> the /q parameter space;
+                # "effort" (0-1) rides along as an extension field
+                params = {
+                    "query": [str(body.get("prompt", ""))],
+                    "numtokens": [str(body.get("max_tokens", 16))],
+                    "temperature": [str(body.get("temperature", 0) or 0)],
+                    "topp": [str(body.get("top_p", 1.0) or 1.0)],
+                    "seed": [str(body.get("seed", 0) or 0)],
+                    "effort": [str(float(body.get("effort", 1.0)) * 100)],
+                    "stream": ["1" if body.get("stream") else "0"],
+                }
 
             if path.path == "/health":
                 await self._respond(writer, 200, {"status": "ok"})
             elif path.path == "/stats":
                 await self._respond(writer, 200, self.stats)
-            elif path.path == "/q":
+            elif path.path == "/q" or openai:
                 loop = asyncio.get_event_loop()
                 fut = loop.create_future()
                 stream = (params.get("stream", ["0"])[0]
@@ -194,7 +225,8 @@ class EffortServer:
                     return
                 try:
                     if tok_q is not None:
-                        await self._respond_sse(writer, tok_q, fut)
+                        await self._respond_sse(writer, tok_q, fut,
+                                                openai=openai)
                         return
                     result = await fut
                     if self.batcher is not None and "tokids" not in params:
@@ -204,6 +236,13 @@ class EffortServer:
                                 if self.tokenizer is not None else "")
                         result = {"reply": text or str(tokens),
                                   "token_ids": tokens}
+                    if openai:
+                        n_req = int(params["numtokens"][0])
+                        n_got = len(result.get("token_ids", []) or [])
+                        result = self._openai_completion(
+                            result.get("reply", ""),
+                            "length" if (not n_got or n_got >= n_req)
+                            else "stop")
                     await self._respond(writer, 200, result)
                 except Exception as e:
                     await self._respond(writer, 500, {"error": str(e)})
@@ -217,9 +256,21 @@ class EffortServer:
             except Exception:
                 pass
 
-    async def _respond_sse(self, writer, tok_q: asyncio.Queue, fut):
+    @staticmethod
+    def _openai_completion(text: str, finish_reason: str = "length",
+                           stream_delta: bool = False) -> dict:
+        obj = {"object": "text_completion", "model": "effort-tpu",
+               "choices": [{"text": text, "index": 0,
+                            "logprobs": None,
+                            "finish_reason": (None if stream_delta
+                                              else finish_reason)}]}
+        return obj
+
+    async def _respond_sse(self, writer, tok_q: asyncio.Queue, fut,
+                           openai: bool = False):
         """Server-sent events: one `data:` event per token as it lands in
-        the decode slot, then `event: done` with the full result."""
+        the decode slot, then `event: done` with the full result (native
+        format) or a `data: [DONE]` terminator (OpenAI format)."""
         writer.write(b"HTTP/1.1 200 OK\r\n"
                      b"content-type: text/event-stream\r\n"
                      b"cache-control: no-cache\r\n"
@@ -239,16 +290,21 @@ class EffortServer:
                 # the streamed text disagree with the final reply
                 full = self.tokenizer.decode(toks)
                 piece, prev_text = full[len(prev_text):], full
-            writer.write(b"data: " + json.dumps(
-                {"token": tok, "text": piece}).encode() + b"\n\n")
+            payload = (self._openai_completion(piece, stream_delta=True)
+                       if openai else {"token": tok, "text": piece})
+            writer.write(b"data: " + json.dumps(payload).encode()
+                         + b"\n\n")
             await writer.drain()
         tokens = await fut
         self.stats["tokens"] += len(tokens)
         text = (self.tokenizer.decode(tokens)
                 if self.tokenizer is not None else "")
-        writer.write(b"event: done\ndata: " + json.dumps(
-            {"reply": text or str(tokens),
-             "token_ids": tokens}).encode() + b"\n\n")
+        if openai:
+            writer.write(b"data: [DONE]\n\n")
+        else:
+            writer.write(b"event: done\ndata: " + json.dumps(
+                {"reply": text or str(tokens),
+                 "token_ids": tokens}).encode() + b"\n\n")
         await writer.drain()
 
     @staticmethod

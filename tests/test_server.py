@@ -145,3 +145,41 @@ def test_batch_server_rejects_sampling_params():
         finally:
             await srv.stop()
     asyncio.run(run())
+
+
+def test_openai_completions_endpoint():
+    from effort_tpu.serving.server import make_batch_server
+    cfg = tiny_test_model(max_seq_len=64)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=4, chunk_rows=8))
+
+    def _post(port, path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"content-type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read().decode()
+
+    async def run():
+        srv = make_batch_server(w, cfg, batch_size=2, pad_to=8,
+                                port=18098)
+        await srv.start()
+        loop = asyncio.get_event_loop()
+        try:
+            st, body = await loop.run_in_executor(
+                None, _post, 18098, "/v1/completions",
+                {"prompt": "hello", "max_tokens": 4, "effort": 0.5})
+            assert st == 200
+            obj = json.loads(body)
+            assert obj["object"] == "text_completion"
+            assert obj["choices"][0]["finish_reason"] == "length"
+
+            st, body = await loop.run_in_executor(
+                None, _post, 18098, "/v1/completions",
+                {"prompt": "hello", "max_tokens": 4, "stream": True})
+            assert st == 200
+            assert body.strip().endswith("data: [DONE]")
+            assert body.count('"text_completion"') >= 4
+        finally:
+            await srv.stop()
+    asyncio.run(run())
