@@ -1,6 +1,8 @@
 #!/bin/bash
 # Wait for the axon TPU tunnel, then run the queued measurements.
-# Each step logs to /tmp/q_*.log; safe to re-run (skips completed steps).
+# Each step logs to /tmp/q_*.log; completed steps (QUEUE-DONE) are
+# skipped, failed steps are retried on later passes — the tunnel flaps,
+# so the whole queue loops until everything is done (max 6 passes).
 set -u
 cd /root/repo
 
@@ -8,18 +10,11 @@ probe() {
     timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1
 }
 
-echo "$(date +%T) waiting for TPU tunnel..."
-until probe; do
-    sleep 240
-done
-echo "$(date +%T) tunnel is up; running queue"
-
 run_step() {  # name cmd...
     local name=$1; shift
     local log="/tmp/q_${name}.log"
     if [ -f "$log" ] && grep -q "QUEUE-DONE" "$log"; then
-        echo "skip $name (done)"
-        return
+        return 0
     fi
     echo "$(date +%T) step $name"
     timeout 2400 "$@" > "$log" 2>&1
@@ -27,15 +22,33 @@ run_step() {  # name cmd...
     grep -q "QUEUE-EXIT=0" "$log" && echo "QUEUE-DONE" >> "$log"
 }
 
-# 1. headline benchmark (confirm current numbers still hold)
-run_step bench python bench.py
-# 2. full-depth int4 model decode (the interrupted int4 model-level run)
-run_step int4_32L python scripts/model_bench.py 32 int4 1.0,0.5,0.25 1 1 1 1 1.0
-# 3. int4 quality at model level (4L, with dense baseline for ratio)
-run_step int4_4L python scripts/model_bench.py 4 int4 1.0,0.5,0.25 1 1 1 1 1.0
-# 4. speculative decode speed (8L, row-prefix bf16)
-run_step spec python scripts/spec_bench.py 8 bf16 4,8 0.25,0.15
-# 5. Mixtral-dims MoE decode, int8 buckets (the reference's Mixtral is
-#    broken; ours decodes — measure it)
-run_step moe_4L python scripts/model_bench.py 4 int8 1.0,0.5,0.25 1 0 0 1 1.0 8
-echo "$(date +%T) queue complete"
+all_done() {
+    for n in bench int4_32L int4_4L spec moe_4L; do
+        grep -q "QUEUE-DONE" "/tmp/q_${n}.log" 2>/dev/null || return 1
+    done
+    return 0
+}
+
+for pass in 1 2 3 4 5 6; do
+    all_done && break
+    echo "$(date +%T) pass $pass: waiting for TPU tunnel..."
+    until probe; do
+        sleep 240
+    done
+    echo "$(date +%T) tunnel is up; running queue"
+    # 1. headline benchmark (confirm current numbers still hold)
+    run_step bench python bench.py
+    # 2. full-depth int4 model decode (the interrupted int4 run)
+    run_step int4_32L python scripts/model_bench.py 32 int4 \
+        1.0,0.5,0.25 1 1 1 1 1.0
+    # 3. int4 quality/speed at model level (4L, dense ratio via bf16 run)
+    run_step int4_4L python scripts/model_bench.py 4 int4 \
+        1.0,0.5,0.25 1 1 1 1 1.0
+    # 4. speculative decode speed (8L, row-prefix bf16)
+    run_step spec python scripts/spec_bench.py 8 bf16 4,8 0.25,0.15
+    # 5. Mixtral-dims MoE decode, int8 buckets (the reference's Mixtral
+    #    is broken; ours decodes — measure it)
+    run_step moe_4L python scripts/model_bench.py 4 int8 \
+        1.0,0.5,0.25 1 0 0 1 1.0 8
+done
+echo "$(date +%T) queue finished (all_done=$(all_done && echo yes || echo no))"
