@@ -53,15 +53,23 @@ class Reply:
 
 
 def _pick_token(logits, key, sampled: bool, top_k: int, temperature,
-                top_p):
+                top_p, counts=None, presence=0.0, frequency=0.0):
     """Next-token choice: greedy when sampled=False, otherwise softmax
     sampling with optional top-k and/or nucleus (top-p) truncation.
     (The reference is greedy-only: mpsTopK argmax, runNetwork.swift:235.)
 
     sampled and top_k are compile-time (they change the program);
-    temperature and top_p are TRACED scalars — client-supplied floats
-    must not mint new executables (the compile cache would grow without
-    bound under a parameter sweep)."""
+    temperature/top_p/presence/frequency are TRACED scalars —
+    client-supplied floats must not mint new executables (the compile
+    cache would grow without bound under a parameter sweep).
+
+    counts [vocab] (when given): occurrence counts of every token in the
+    text so far; OpenAI-style presence/frequency penalties subtract
+    presence*(counts>0) + frequency*counts from the logits before the
+    choice (greedy included)."""
+    if counts is not None:
+        logits = logits - (presence * (counts > 0)
+                           + frequency * counts.astype(jnp.float32))
     if not sampled:
         return jnp.argmax(logits).astype(jnp.int32)
     lg = logits.astype(jnp.float32) / jnp.maximum(
@@ -83,12 +91,14 @@ def _pick_token(logits, key, sampled: bool, top_k: int, temperature,
 def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                  n_new, effort: float, impl: str, eos_id: int,
                  kv_mode: str = "full", sampled: bool = False,
-                 top_k: int = 0, temperature=0.0, top_p=1.0,
+                 top_k: int = 0, penalized: bool = False,
+                 temperature=0.0, top_p=1.0, presence=0.0, frequency=0.0,
                  rng_key=None):
     """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
     kv_mode='ring' decodes over an O(sliding_window) rolling KV cache
     (sequence length unbounded by max_seq_len); 'int8' over the
-    quantized cache (half the KV bytes)."""
+    quantized cache (half the KV bytes). penalized=True tracks per-token
+    occurrence counts for presence/frequency penalties."""
     P = prompt_ids.shape[0]
     k_cache, v_cache, kv_up, attn = _make_cache_and_hooks(cfg, kv_mode)
     total = P + n_new
@@ -97,15 +107,21 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
 
     ids0 = jnp.concatenate(
         [prompt_ids, jnp.zeros((n_new,), jnp.int32)])
+    counts0 = None
+    if penalized:
+        counts0 = jnp.zeros((cfg.vocab_size,), jnp.int32).at[
+            prompt_ids].add((jnp.arange(P) < prompt_len).astype(jnp.int32))
 
     def step(carry, pos):
-        ids, k_cache, v_cache, done, key = carry
+        ids, k_cache, v_cache, done, key, counts = carry
         tok = ids[pos]
         logits, k_cache, v_cache = forward_token(
             w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
             kv_update_fn=kv_up, attn_fn=attn)
         key, sub = jax.random.split(key)
-        pred = _pick_token(logits, sub, sampled, top_k, temperature, top_p)
+        pred = _pick_token(logits, sub, sampled, top_k, temperature,
+                           top_p, counts=counts, presence=presence,
+                           frequency=frequency)
         is_gen = pos >= prompt_len - 1          # generating from here on
         next_pos = pos + 1
         write = is_gen & (next_pos < total) & (~done)
@@ -114,11 +130,14 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
             lambda: jax.lax.dynamic_update_index_in_dim(
                 ids, pred, jnp.minimum(next_pos, total - 1), 0),
             lambda: ids)
+        if counts is not None:
+            counts = counts.at[pred].add(write.astype(jnp.int32))
         done = done | (is_gen & (pred == eos_id))
-        return (ids, k_cache, v_cache, done, key), pred
+        return (ids, k_cache, v_cache, done, key, counts), pred
 
-    (ids, _, _, _, _), preds = jax.lax.scan(
-        step, (ids0, k_cache, v_cache, jnp.asarray(False), rng_key),
+    (ids, _, _, _, _, _), preds = jax.lax.scan(
+        step, (ids0, k_cache, v_cache, jnp.asarray(False), rng_key,
+               counts0),
         jnp.arange(total - 1, dtype=jnp.int32))
     return ids, preds
 
@@ -378,9 +397,10 @@ class Engine:
                 else effort)
 
     def _fn(self, P: int, n_new: int, effort: float,
-            sampled: bool = False, top_k: int = 0):
+            sampled: bool = False, top_k: int = 0,
+            penalized: bool = False):
         eff_key = "dyn" if self.dynamic_effort else effort
-        key = (P, n_new, eff_key, self.prefill, sampled, top_k)
+        key = (P, n_new, eff_key, self.prefill, sampled, top_k, penalized)
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
@@ -392,31 +412,43 @@ class Engine:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new,
                     impl=self.impl, eos_id=self.eos_id,
-                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k))
+                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k,
+                    penalized=penalized))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
                     impl=self.impl, eos_id=self.eos_id,
-                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k))
+                    kv_mode=self.kv_mode, sampled=sampled, top_k=top_k,
+                    penalized=penalized))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
                  effort: float = 1.0, temperature: float = 0.0,
-                 top_k: int = 0, top_p: float = 1.0,
-                 seed: int = 0) -> Reply:
+                 top_k: int = 0, top_p: float = 1.0, seed: int = 0,
+                 presence_penalty: float = 0.0,
+                 frequency_penalty: float = 0.0) -> Reply:
         """temperature=0 (default) is greedy (the reference's only mode);
         temperature>0 samples, optionally truncated by top_k / top_p.
         seed only matters when sampling (same seed -> same tokens).
-        temperature/top_p are traced (any value, one executable); top_k
-        changes the compiled program."""
+        presence/frequency penalties subtract presence*(seen) +
+        frequency*count from the logits (OpenAI semantics; apply to
+        greedy too). temperature/top_p/penalties are traced (any value,
+        one executable); top_k changes the compiled program."""
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
             "sequence too long (use ring_kv for unbounded decode)"
         sampled = temperature > 0.0
+        penalized = presence_penalty != 0.0 or frequency_penalty != 0.0
+        assert not (penalized and self.prefill), \
+            "penalties are not wired into the prefill engine yet"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
-        fn = self._fn(P, n_new, effort, sampled, top_k if sampled else 0)
+        fn = self._fn(P, n_new, effort, sampled, top_k if sampled else 0,
+                      penalized)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
+        if penalized:
+            kw["presence"] = jnp.asarray(presence_penalty, jnp.float32)
+            kw["frequency"] = jnp.asarray(frequency_penalty, jnp.float32)
         if sampled:
             kw["rng_key"] = jax.random.key(seed)
             kw["temperature"] = jnp.asarray(temperature, jnp.float32)

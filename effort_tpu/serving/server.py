@@ -132,7 +132,10 @@ class EffortServer:
                 temperature=temperature,
                 top_k=int(params.get("topk", ["0"])[0]),
                 top_p=float(params.get("topp", ["1.0"])[0]),
-                seed=int(params.get("seed", ["0"])[0]))
+                seed=int(params.get("seed", ["0"])[0]),
+                presence_penalty=float(params.get("presence", ["0"])[0]),
+                frequency_penalty=float(params.get("frequency",
+                                                   ["0"])[0]))
         self.stats["tokens"] += len(reply.token_ids)
         return {"reply": reply.text or str(reply.token_ids),
                 "effort": effort,
@@ -181,6 +184,9 @@ class EffortServer:
                     "seed": [str(body.get("seed", 0) or 0)],
                     "effort": [str(float(body.get("effort", 1.0)) * 100)],
                     "stream": ["1" if body.get("stream") else "0"],
+                    "presence": [str(body.get("presence_penalty", 0) or 0)],
+                    "frequency": [str(body.get("frequency_penalty", 0)
+                                      or 0)],
                 }
 
             if path.path == "/health":
@@ -194,12 +200,15 @@ class EffortServer:
                           not in ("0", "", "false"))
                 tok_q: Optional[asyncio.Queue] = None
                 if self.batcher is not None and "tokids" not in params:
-                    if float(params.get("temperature", ["0"])[0]) > 0:
+                    if (float(params.get("temperature", ["0"])[0]) > 0
+                            or float(params.get("presence", ["0"])[0])
+                            or float(params.get("frequency", ["0"])[0])):
                         # the batched decode step is argmax-only; refuse
                         # rather than silently return greedy output
                         await self._respond(writer, 400, {
-                            "error": "sampling params are not supported "
-                                     "in continuous-batching mode"})
+                            "error": "sampling/penalty params are not "
+                                     "supported in continuous-batching "
+                                     "mode"})
                         return
                     effort = float(params.get("effort", ["100"])[0]) / 100.0
                     effort = min(max(effort, 0.01), 1.0)

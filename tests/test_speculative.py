@@ -114,3 +114,31 @@ def test_prefill_engine_sampling():
     assert len(s1.token_ids) == 8
     t1 = eng.generate([1, 5, 9], n_new=8, temperature=1.5, top_k=1)
     assert t1.token_ids == g.token_ids
+
+
+def test_presence_penalty_blocks_repeats(engine):
+    """A huge presence penalty makes greedy decode never repeat a token
+    (until the vocab is exhausted) — the tiny random model otherwise
+    loops within a few steps."""
+    base = engine.generate([1, 5, 9], n_new=16)
+    assert len(set(base.token_ids)) < 16      # it does loop unpenalized
+    pen = engine.generate([1, 5, 9], n_new=16, presence_penalty=1e9)
+    seen = set([1, 5, 9])
+    for t in pen.token_ids:
+        assert t not in seen, pen.token_ids
+        seen.add(t)
+
+
+def test_penalty_values_do_not_recompile(engine):
+    engine.generate([1, 5, 9], n_new=4, presence_penalty=0.5)
+    n = len(engine._fns)
+    engine.generate([1, 5, 9], n_new=4, presence_penalty=0.7,
+                    frequency_penalty=0.2)
+    assert len(engine._fns) == n
+
+
+def test_zero_penalty_is_plain_greedy(engine):
+    a = engine.generate([1, 5, 9], n_new=8)
+    b = engine.generate([1, 5, 9], n_new=8, presence_penalty=0.0,
+                        frequency_penalty=0.0)
+    assert a.token_ids == b.token_ids
