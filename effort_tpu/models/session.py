@@ -60,20 +60,33 @@ def _consume_scan(w: ModelWeights, cfg: ModelConfig, ids, valid, pos0,
 
 def _gen_scan(w: ModelWeights, cfg: ModelConfig, tok0, pos0, k_cache,
               v_cache, n_new: int, effort: float, impl: str, eos_id: int,
-              ring: bool = False):
+              ring: bool = False, sampled: bool = False, top_k: int = 0,
+              penalized: bool = False, temperature=0.0, top_p=1.0,
+              presence=0.0, frequency=0.0, rng_key=None, counts0=None):
+    from effort_tpu.models.generate import _pick_token
     kv_up, attn = ring_kv_hooks(cfg) if ring else (None, None)
+    if rng_key is None:
+        rng_key = jax.random.key(0)
 
     def step(carry, i):
-        tok, pos, k_cache, v_cache, done = carry
+        tok, pos, k_cache, v_cache, done, key, counts = carry
         logits, k_cache, v_cache = forward_token(
             w, cfg, tok, pos, k_cache, v_cache, effort=effort, impl=impl,
             kv_update_fn=kv_up, attn_fn=attn)
-        pred = jnp.argmax(logits).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        pred = _pick_token(logits, sub, sampled, top_k, temperature,
+                           top_p, counts=counts, presence=presence,
+                           frequency=frequency)
+        if counts is not None:
+            counts = counts.at[pred].add(1)
         done = done | (tok == eos_id)
-        return (pred, pos + 1, k_cache, v_cache, done), tok
+        return (pred, pos + 1, k_cache, v_cache, done, key, counts), tok
 
-    (_, pos, k_cache, v_cache, _), toks = jax.lax.scan(
-        step, (tok0, pos0, k_cache, v_cache, jnp.asarray(False)),
+    if penalized and counts0 is not None:
+        counts0 = counts0.at[tok0].add(1)   # the turn-boundary token
+    (_, pos, k_cache, v_cache, _, _, _), toks = jax.lax.scan(
+        step, (tok0, pos0, k_cache, v_cache, jnp.asarray(False), rng_key,
+               counts0 if penalized else None),
         jnp.arange(n_new, dtype=jnp.int32))
     return toks, pos, k_cache, v_cache
 
@@ -110,19 +123,25 @@ class ChatSession:
                 impl=self.impl, ring=self.ring_kv))
         return self._fns[key]
 
-    def _gen_fn(self, n_new: int, effort: float):
-        key = ("g", n_new, effort)
+    def _gen_fn(self, n_new: int, effort: float, sampled: bool = False,
+                top_k: int = 0, penalized: bool = False):
+        key = ("g", n_new, effort, sampled, top_k, penalized)
         if key not in self._fns:
             self._fns[key] = jax.jit(partial(
                 _gen_scan, cfg=self.cfg, n_new=n_new, effort=effort,
-                impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv))
+                impl=self.impl, eos_id=self.eos_id, ring=self.ring_kv,
+                sampled=sampled, top_k=top_k, penalized=penalized))
         return self._fns[key]
 
     def turn(self, prompt_ids: Sequence[int], n_new: int = 30,
-             effort: float = 1.0) -> List[int]:
+             effort: float = 1.0, temperature: float = 0.0,
+             top_k: int = 0, top_p: float = 1.0, seed: int = 0,
+             presence_penalty: float = 0.0,
+             frequency_penalty: float = 0.0) -> List[int]:
         """Feed one user turn, generate up to n_new tokens. Only the NEW
         tokens are processed — the conversation so far lives in the
-        cache."""
+        cache. Sampling/penalty knobs match Engine.generate; penalty
+        counts cover the WHOLE conversation history."""
         ids = list(prompt_ids)
         P = max(self.pad_to, -(-len(ids) // self.pad_to) * self.pad_to)
         assert self.ring_kv or \
@@ -135,10 +154,28 @@ class ChatSession:
                        valid=jnp.asarray(valid, jnp.bool_),
                        pos0=jnp.asarray(self.pos, jnp.int32),
                        k_cache=self.k_cache, v_cache=self.v_cache)
+        sampled = temperature > 0.0
+        penalized = presence_penalty != 0.0 or frequency_penalty != 0.0
+        kw = {}
+        if sampled:
+            kw.update(rng_key=jax.random.key(seed),
+                      temperature=jnp.asarray(temperature, jnp.float32),
+                      top_p=jnp.asarray(top_p, jnp.float32))
+        if penalized:
+            kw.update(
+                presence=jnp.asarray(presence_penalty, jnp.float32),
+                frequency=jnp.asarray(frequency_penalty, jnp.float32),
+                counts0=jnp.asarray(np.bincount(
+                    self.history + ids, minlength=self.cfg.vocab_size
+                ), jnp.int32))
+        # first generated token: greedy from the consume pass (sampling
+        # it too would need the consume fn to thread the PRNG; the turn
+        # boundary token being greedy is a deliberate simplification)
         first = jnp.argmax(last).astype(jnp.int32)
         toks, pos, self.k_cache, self.v_cache = self._gen_fn(
-            n_new, effort)(self.w, tok0=first, pos0=pos,
-                           k_cache=self.k_cache, v_cache=self.v_cache)
+            n_new, effort, sampled, top_k if sampled else 0, penalized)(
+            self.w, tok0=first, pos0=pos,
+            k_cache=self.k_cache, v_cache=self.v_cache, **kw)
         self.pos = int(pos)
         out = [int(t) for t in jax.device_get(toks)]
         if self.eos_id in out:

@@ -82,3 +82,17 @@ def test_ring_session_save_resume(tmp_path):
                           pad_to=4)
     assert s2.ring_kv and s2.pos == s.pos
     assert s.turn([7, 2], n_new=4) == s2.turn([7, 2], n_new=4)
+
+
+def test_session_sampling_and_penalties(model):
+    cfg, w = model
+    s = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    a = s.turn([1, 5, 9], n_new=8, temperature=0.8, seed=3)
+    s2 = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    b = s2.turn([1, 5, 9], n_new=8, temperature=0.8, seed=3)
+    assert a == b and len(a) == 8          # deterministic per seed
+    s3 = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    pen = s3.turn([1, 5, 9], n_new=10, presence_penalty=1e9)
+    # all generated tokens distinct (the greedy turn-boundary token is
+    # counted too before the penalized steps)
+    assert len(set(pen)) == len(pen), pen
