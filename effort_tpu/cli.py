@@ -103,6 +103,9 @@ def main(argv=None):
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stream", action="store_true",
+                   help="repl: print tokens progressively (chunked "
+                        "session decode)")
     p.add_argument("--quiz-file", default=None)
     args = p.parse_args(argv)
     args.mode = {"playground": "bucket", "benchmark": "agreement",
@@ -192,9 +195,20 @@ def main(argv=None):
 
 
 def _repl(engine, encode, args):
-    """Interactive loop, reference REPL semantics (main.swift:110-135)."""
+    """Interactive loop, reference REPL semantics (main.swift:110-135).
+
+    --stream prints tokens progressively via chunked ChatSession turns
+    (the reference prints per token; our default mode runs the whole
+    generation as one scan and prints once — faster, but silent until
+    done)."""
     effort = args.effort
     prev = "Tell me a story."
+    session = None
+    if args.stream:
+        from effort_tpu.models.session import ChatSession
+        session = ChatSession(engine.w, engine.cfg,
+                              impl=engine.impl,
+                              tokenizer=engine.tokenizer)
     print("query, or 0-100 to set effort and re-run, or 'r' to repeat:")
     for line in sys.stdin:
         line = line.strip()
@@ -208,10 +222,29 @@ def _repl(engine, encode, args):
         else:
             query = line
         prev = query
-        r = engine.generate(encode(query), n_new=args.n_tokens,
-                            effort=max(effort, 0.01))
-        print(r.text if r.text else r.token_ids)
-        print(f"[effort {effort*100:.0f}%: {r.tokens_per_s:.1f} tok/s]")
+        if session is not None:
+            session.reset()   # each REPL query is a fresh conversation
+            tok = engine.tokenizer
+            shown = ""
+            all_toks = []
+            for chunk in session.turn_stream(encode(query),
+                                             n_new=args.n_tokens,
+                                             effort=max(effort, 0.01)):
+                all_toks.extend(chunk)
+                if tok is not None:
+                    full = tok.decode(all_toks)
+                    print(full[len(shown):], end="", flush=True)
+                    shown = full
+                else:
+                    print(" ".join(str(t) for t in chunk), end=" ",
+                          flush=True)
+            print(f"\n[effort {effort*100:.0f}%]")
+        else:
+            r = engine.generate(encode(query), n_new=args.n_tokens,
+                                effort=max(effort, 0.01))
+            print(r.text if r.text else r.token_ids)
+            print(f"[effort {effort*100:.0f}%: "
+                  f"{r.tokens_per_s:.1f} tok/s]")
         print("> ", end="", flush=True)
 
 

@@ -84,11 +84,13 @@ def _gen_scan(w: ModelWeights, cfg: ModelConfig, tok0, pos0, k_cache,
 
     if penalized and counts0 is not None:
         counts0 = counts0.at[tok0].add(1)   # the turn-boundary token
-    (_, pos, k_cache, v_cache, _, _, _), toks = jax.lax.scan(
+    (next_tok, pos, k_cache, v_cache, _, _, _), toks = jax.lax.scan(
         step, (tok0, pos0, k_cache, v_cache, jnp.asarray(False), rng_key,
                counts0 if penalized else None),
         jnp.arange(n_new, dtype=jnp.int32))
-    return toks, pos, k_cache, v_cache
+    # next_tok: the prediction after the last consumed token — the
+    # continuation point for chunked/streaming turns
+    return toks, pos, k_cache, v_cache, next_tok
 
 
 class ChatSession:
@@ -172,16 +174,78 @@ class ChatSession:
         # it too would need the consume fn to thread the PRNG; the turn
         # boundary token being greedy is a deliberate simplification)
         first = jnp.argmax(last).astype(jnp.int32)
-        toks, pos, self.k_cache, self.v_cache = self._gen_fn(
+        toks, pos, self.k_cache, self.v_cache, nxt = self._gen_fn(
             n_new, effort, sampled, top_k if sampled else 0, penalized)(
             self.w, tok0=first, pos0=pos,
             k_cache=self.k_cache, v_cache=self.v_cache, **kw)
         self.pos = int(pos)
+        self._next_tok = int(nxt)
         out = [int(t) for t in jax.device_get(toks)]
         if self.eos_id in out:
             out = out[:out.index(self.eos_id) + 1]
         self.history.extend(ids + out)
         return out
+
+    def continue_turn(self, n_new: int = 30, effort: float = 1.0,
+                      temperature: float = 0.0, top_k: int = 0,
+                      top_p: float = 1.0, seed: int = 0,
+                      presence_penalty: float = 0.0,
+                      frequency_penalty: float = 0.0) -> List[int]:
+        """Generate n_new MORE tokens continuing the last turn (no new
+        prompt consumed) — the chunked building block of turn_stream."""
+        assert getattr(self, "_next_tok", None) is not None, \
+            "continue_turn needs a prior turn"
+        assert self.ring_kv or \
+            self.pos + n_new <= self.cfg.max_seq_len, \
+            "session exceeds max_seq_len (use ring_kv=True for unbounded)"
+        sampled = temperature > 0.0
+        penalized = presence_penalty != 0.0 or frequency_penalty != 0.0
+        kw = {}
+        if sampled:
+            kw.update(rng_key=jax.random.key(seed),
+                      temperature=jnp.asarray(temperature, jnp.float32),
+                      top_p=jnp.asarray(top_p, jnp.float32))
+        if penalized:
+            kw.update(
+                presence=jnp.asarray(presence_penalty, jnp.float32),
+                frequency=jnp.asarray(frequency_penalty, jnp.float32),
+                counts0=jnp.asarray(np.bincount(
+                    self.history, minlength=self.cfg.vocab_size
+                ), jnp.int32))
+        toks, pos, self.k_cache, self.v_cache, nxt = self._gen_fn(
+            n_new, effort, sampled, top_k if sampled else 0, penalized)(
+            self.w, tok0=jnp.asarray(self._next_tok, jnp.int32),
+            pos0=jnp.asarray(self.pos, jnp.int32),
+            k_cache=self.k_cache, v_cache=self.v_cache, **kw)
+        self.pos = int(pos)
+        self._next_tok = int(nxt)
+        out = [int(t) for t in jax.device_get(toks)]
+        if self.eos_id in out:
+            out = out[:out.index(self.eos_id) + 1]
+        self.history.extend(out)
+        return out
+
+    def turn_stream(self, prompt_ids: Sequence[int], n_new: int = 30,
+                    chunk: int = 8, **kw):
+        """Generator: yields lists of token ids as they decode (chunked
+        turn + continue_turn under one cached executable per chunk size
+        — the streaming REPL/serving surface)."""
+        done = 0
+        n = min(chunk, n_new)
+        toks = self.turn(prompt_ids, n_new=n, **kw)
+        yield toks
+        done += len(toks)
+        while done < n_new and self.eos_id not in toks:
+            n = min(chunk, n_new - done)
+            toks = self.continue_turn(n_new=n, **kw)
+            yield toks
+            done += len(toks)
+
+    def reset(self) -> None:
+        """Forget the conversation (cache rows are overwritten lazily)."""
+        self.pos = 0
+        self.history = []
+        self._next_tok = None
 
     # ---------------- persistence ----------------
 

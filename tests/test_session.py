@@ -96,3 +96,26 @@ def test_session_sampling_and_penalties(model):
     # all generated tokens distinct (the greedy turn-boundary token is
     # counted too before the penalized steps)
     assert len(set(pen)) == len(pen), pen
+
+
+def test_turn_stream_matches_turn(model):
+    """Chunked streaming yields exactly the unsplit turn's tokens."""
+    cfg, w = model
+    s1 = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    full = s1.turn([1, 5, 9], n_new=12)
+    s2 = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    chunks = list(s2.turn_stream([1, 5, 9], n_new=12, chunk=5))
+    flat = [t for c in chunks for t in c]
+    assert flat == full
+    assert s2.pos == s1.pos and s2.history == s1.history
+
+
+def test_session_reset(model):
+    cfg, w = model
+    s = ChatSession(w, cfg, impl="jnp", pad_to=4)
+    a = s.turn([1, 5, 9], n_new=6)
+    s.turn([7, 2], n_new=4)
+    s.reset()
+    assert s.pos == 0 and s.history == []
+    b = s.turn([1, 5, 9], n_new=6)
+    assert a == b          # fresh-conversation behavior after reset
