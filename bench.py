@@ -31,7 +31,26 @@ import json
 import numpy as np
 
 
+def _arm_watchdog(seconds: int = 2700) -> None:
+    """The axon tunnel can hang indefinitely (even jax.devices() blocks);
+    a hung benchmark must fail visibly instead of wedging the driver."""
+    import signal
+
+    def _abort(signum, frame):
+        import sys
+        print("bench.py watchdog: no result within "
+              f"{seconds}s (TPU tunnel hung?)", file=sys.stderr)
+        raise SystemExit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _abort)
+        signal.alarm(seconds)
+    except (ValueError, OSError):
+        pass  # non-main thread / platform without SIGALRM
+
+
 def main():
+    _arm_watchdog()
     import jax
     import jax.numpy as jnp
     import effort_tpu  # noqa: F401
