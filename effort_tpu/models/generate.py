@@ -50,6 +50,8 @@ class Reply:
     eval_ms_per_token: float = 0.0
     spec_tokens_per_iter: float = 0.0  # speculative decode: mean accepted
                                        # tokens per draft/verify round
+    logprobs: list = None              # per emitted token (when requested):
+                                       # {token_id: logprob} of the top-N
 
 
 def _pick_token(logits, key, sampled: bool, top_k: int, temperature,
@@ -92,6 +94,7 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
                  n_new, effort: float, impl: str, eos_id: int,
                  kv_mode: str = "full", sampled: bool = False,
                  top_k: int = 0, penalized: bool = False,
+                 logprobs_k: int = 0,
                  temperature=0.0, top_p=1.0, presence=0.0, frequency=0.0,
                  rng_key=None):
     """prompt_ids: [P] int32 padded; returns (all_ids [P+n_new], preds).
@@ -133,13 +136,21 @@ def _decode_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids, prompt_len,
         if counts is not None:
             counts = counts.at[pred].add(write.astype(jnp.int32))
         done = done | (is_gen & (pred == eos_id))
-        return (ids, k_cache, v_cache, done, key, counts), pred
+        out = pred
+        if logprobs_k:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            topv, topi = jax.lax.top_k(lp, logprobs_k)
+            out = (pred, topv, topi)
+        return (ids, k_cache, v_cache, done, key, counts), out
 
-    (ids, _, _, _, _, _), preds = jax.lax.scan(
+    (ids, _, _, _, _, _), outs = jax.lax.scan(
         step, (ids0, k_cache, v_cache, jnp.asarray(False), rng_key,
                counts0),
         jnp.arange(total - 1, dtype=jnp.int32))
-    return ids, preds
+    if logprobs_k:
+        preds, top_lp, top_ids = outs
+        return ids, preds, top_lp, top_ids
+    return ids, outs
 
 
 def _prompt_logits_scan(w: ModelWeights, cfg: ModelConfig, prompt_ids,
@@ -398,9 +409,10 @@ class Engine:
 
     def _fn(self, P: int, n_new: int, effort: float,
             sampled: bool = False, top_k: int = 0,
-            penalized: bool = False):
+            penalized: bool = False, logprobs_k: int = 0):
         eff_key = "dyn" if self.dynamic_effort else effort
-        key = (P, n_new, eff_key, self.prefill, sampled, top_k, penalized)
+        key = (P, n_new, eff_key, self.prefill, sampled, top_k, penalized,
+               logprobs_k)
         if key not in self._fns:
             if self.prefill:
                 self._fns[key] = jax.jit(partial(
@@ -413,20 +425,21 @@ class Engine:
                     _decode_scan, cfg=self.cfg, n_new=n_new,
                     impl=self.impl, eos_id=self.eos_id,
                     kv_mode=self.kv_mode, sampled=sampled, top_k=top_k,
-                    penalized=penalized))
+                    penalized=penalized, logprobs_k=logprobs_k))
             else:
                 self._fns[key] = jax.jit(partial(
                     _decode_scan, cfg=self.cfg, n_new=n_new, effort=effort,
                     impl=self.impl, eos_id=self.eos_id,
                     kv_mode=self.kv_mode, sampled=sampled, top_k=top_k,
-                    penalized=penalized))
+                    penalized=penalized, logprobs_k=logprobs_k))
         return self._fns[key]
 
     def generate(self, prompt_ids: Sequence[int], n_new: int = 30,
                  effort: float = 1.0, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 1.0, seed: int = 0,
                  presence_penalty: float = 0.0,
-                 frequency_penalty: float = 0.0) -> Reply:
+                 frequency_penalty: float = 0.0,
+                 logprobs: int = 0) -> Reply:
         """temperature=0 (default) is greedy (the reference's only mode);
         temperature>0 samples, optionally truncated by top_k / top_p.
         seed only matters when sampling (same seed -> same tokens).
@@ -442,9 +455,11 @@ class Engine:
         penalized = presence_penalty != 0.0 or frequency_penalty != 0.0
         assert not (penalized and self.prefill), \
             "penalties are not wired into the prefill engine yet"
+        assert not (logprobs and self.prefill), \
+            "logprobs are not wired into the prefill engine yet"
         padded = list(prompt_ids) + [0] * (P - len(prompt_ids))
         fn = self._fn(P, n_new, effort, sampled, top_k if sampled else 0,
-                      penalized)
+                      penalized, logprobs)
         kw = ({"effort": self._eff(effort)} if self.dynamic_effort else {})
         if penalized:
             kw["presence"] = jnp.asarray(presence_penalty, jnp.float32)
@@ -474,6 +489,18 @@ class Engine:
             new_ids = list(ids[len(prompt_ids):len(prompt_ids) + n_new])
         if self.eos_id in new_ids:
             new_ids = new_ids[:new_ids.index(self.eos_id) + 1]
+        lp_out = None
+        if logprobs and not self.prefill:
+            # step i predicts the token consumed at position i+1; the
+            # emitted tokens were predicted at steps prompt_len-1 ...
+            top_lp = jax.device_get(out[2])
+            top_ids = jax.device_get(out[3])
+            s0 = len(prompt_ids) - 1
+            lp_out = [
+                {int(t): float(v)
+                 for t, v in zip(top_ids[s0 + i], top_lp[s0 + i])}
+                for i in range(len(new_ids))
+            ]
         text = (self.tokenizer.decode(new_ids)
                 if self.tokenizer is not None else "")
         n_steps = len(padded) + n_new - 1
@@ -484,6 +511,7 @@ class Engine:
             tokens_per_s=n_steps / dt,
             prep_ms=t_first * 1e3,
             eval_ms_per_token=dt / n_steps * 1e3,
+            logprobs=lp_out,
         )
 
     def _logits_fn(self, P: int, effort: float):

@@ -119,7 +119,9 @@ class EffortServer:
         query = params.get("query", [""])[0]
         ids = self._encode_query(query)
         temperature = float(params.get("temperature", ["0"])[0])
-        if self.spec_k and effort >= 1.0 and temperature <= 0:
+        want_lp = int(params.get("logprobs", ["0"])[0])
+        if (self.spec_k and effort >= 1.0 and temperature <= 0
+                and not want_lp):
             # speculative serving: full-effort greedy output at draft
             # speed (sampled / reduced-effort requests take the plain
             # path — the verify pass is effort-1.0 greedy by contract)
@@ -135,11 +137,16 @@ class EffortServer:
                 seed=int(params.get("seed", ["0"])[0]),
                 presence_penalty=float(params.get("presence", ["0"])[0]),
                 frequency_penalty=float(params.get("frequency",
-                                                   ["0"])[0]))
+                                                   ["0"])[0]),
+                logprobs=int(params.get("logprobs", ["0"])[0]))
         self.stats["tokens"] += len(reply.token_ids)
-        return {"reply": reply.text or str(reply.token_ids),
-                "effort": effort,
-                "tokens_per_s": round(reply.tokens_per_s, 2)}
+        out = {"reply": reply.text or str(reply.token_ids),
+               "effort": effort,
+               "tokens_per_s": round(reply.tokens_per_s, 2)}
+        if reply.logprobs is not None:
+            out["logprobs"] = [
+                {str(t): v for t, v in d.items()} for d in reply.logprobs]
+        return out
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter):
@@ -187,6 +194,7 @@ class EffortServer:
                     "presence": [str(body.get("presence_penalty", 0) or 0)],
                     "frequency": [str(body.get("frequency_penalty", 0)
                                       or 0)],
+                    "logprobs": [str(body.get("logprobs", 0) or 0)],
                 }
 
             if path.path == "/health":
@@ -202,7 +210,8 @@ class EffortServer:
                 if self.batcher is not None and "tokids" not in params:
                     if (float(params.get("temperature", ["0"])[0]) > 0
                             or float(params.get("presence", ["0"])[0])
-                            or float(params.get("frequency", ["0"])[0])):
+                            or float(params.get("frequency", ["0"])[0])
+                            or int(params.get("logprobs", ["0"])[0])):
                         # the batched decode step is argmax-only; refuse
                         # rather than silently return greedy output
                         await self._respond(writer, 400, {

@@ -142,3 +142,17 @@ def test_zero_penalty_is_plain_greedy(engine):
     b = engine.generate([1, 5, 9], n_new=8, presence_penalty=0.0,
                         frequency_penalty=0.0)
     assert a.token_ids == b.token_ids
+
+
+def test_generate_logprobs(engine):
+    r = engine.generate([1, 5, 9], n_new=6, logprobs=3)
+    assert r.logprobs is not None and len(r.logprobs) == 6
+    for tok, lp in zip(r.token_ids, r.logprobs):
+        assert len(lp) == 3
+        assert all(v <= 0.0 for v in lp.values())
+        # greedy: the emitted token is the top-1 entry
+        assert tok == max(lp, key=lp.get)
+    # without the flag, no logprobs and no extra compile key reuse issue
+    r2 = engine.generate([1, 5, 9], n_new=6)
+    assert r2.logprobs is None
+    assert r2.token_ids == r.token_ids
