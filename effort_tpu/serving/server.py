@@ -140,9 +140,18 @@ class EffortServer:
                                                    ["0"])[0]),
                 logprobs=int(params.get("logprobs", ["0"])[0]))
         self.stats["tokens"] += len(reply.token_ids)
-        out = {"reply": reply.text or str(reply.token_ids),
+        text = reply.text
+        finish = None
+        for stop in json.loads(params.get("stop", ["[]"])[0]):
+            cut = text.find(stop)
+            if cut >= 0:
+                text = text[:cut]
+                finish = "stop"
+        out = {"reply": text or str(reply.token_ids),
                "effort": effort,
                "tokens_per_s": round(reply.tokens_per_s, 2)}
+        if finish:
+            out["finish_reason"] = finish
         if reply.logprobs is not None:
             out["logprobs"] = [
                 {str(t): v for t, v in d.items()} for d in reply.logprobs]
@@ -196,6 +205,11 @@ class EffortServer:
                                       or 0)],
                     "logprobs": [str(body.get("logprobs", 0) or 0)],
                 }
+                stops = body.get("stop") or []
+                if isinstance(stops, str):
+                    stops = [stops]
+                if stops:
+                    params["stop"] = [json.dumps(stops)]
 
             if path.path == "/health":
                 await self._respond(writer, 200, {"status": "ok"})
@@ -252,15 +266,24 @@ class EffortServer:
                         self.stats["tokens"] += len(tokens)
                         text = (self.tokenizer.decode(tokens)
                                 if self.tokenizer is not None else "")
+                        finish = None
+                        for stop in json.loads(
+                                params.get("stop", ["[]"])[0]):
+                            cut = text.find(stop)
+                            if cut >= 0:
+                                text, finish = text[:cut], "stop"
                         result = {"reply": text or str(tokens),
                                   "token_ids": tokens}
+                        if finish:
+                            result["finish_reason"] = finish
                     if openai:
                         n_req = int(params["numtokens"][0])
                         n_got = len(result.get("token_ids", []) or [])
                         result = self._openai_completion(
                             result.get("reply", ""),
-                            "length" if (not n_got or n_got >= n_req)
-                            else "stop")
+                            result.get("finish_reason") or (
+                                "length" if (not n_got or n_got >= n_req)
+                                else "stop"))
                     await self._respond(writer, 200, result)
                 except Exception as e:
                     await self._respond(writer, 500, {"error": str(e)})
