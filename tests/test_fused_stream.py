@@ -3,7 +3,7 @@
 The DMA+selection kernel itself is TPU-only (manual DMA ring, scalar-core
 cutoff search); its selection math is the same code path as
 ops.effort.compute_cutoff / row_rank_counts, which are covered by
-tests/test_prefix_stream.py. On TPU, scripts/kernel_lab12.py verifies
+tests/test_prefix_stream.py. On TPU, scripts/archive/kernel_lab12.py verifies
 bit-exact parity with the v3 (select_stream + stream_matvec) pipeline.
 """
 
