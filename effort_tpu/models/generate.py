@@ -439,14 +439,20 @@ class Engine:
                  top_k: int = 0, top_p: float = 1.0, seed: int = 0,
                  presence_penalty: float = 0.0,
                  frequency_penalty: float = 0.0,
-                 logprobs: int = 0) -> Reply:
+                 logprobs: int = 0, time_it: bool = False) -> Reply:
         """temperature=0 (default) is greedy (the reference's only mode);
         temperature>0 samples, optionally truncated by top_k / top_p.
         seed only matters when sampling (same seed -> same tokens).
         presence/frequency penalties subtract presence*(seen) +
         frequency*count from the logits (OpenAI semantics; apply to
         greedy too). temperature/top_p/penalties are traced (any value,
-        one executable); top_k changes the compiled program."""
+        one executable); top_k changes the compiled program.
+
+        time_it=False (default): ONE device execution per call — the
+        serving path. Timing fields then include compile time on the
+        first (cold) call for a given shape and are clean afterwards.
+        time_it=True: warm-up call + a second timed call (benchmark
+        semantics; 2x decode cost)."""
         P = max(self.pad_to,
                 -(-len(prompt_ids) // self.pad_to) * self.pad_to)
         assert self.ring_kv or P + n_new <= self.cfg.max_seq_len, \
@@ -474,10 +480,14 @@ class Engine:
         out = fn(self.w, prompt_ids=args[0], prompt_len=args[1], **kw)
         out[0].block_until_ready()
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = fn(self.w, prompt_ids=args[0], prompt_len=args[1], **kw)
-        a, b = (jax.device_get(out[0]), jax.device_get(out[1]))
-        dt = time.perf_counter() - t0
+        if time_it:
+            t0 = time.perf_counter()
+            out = fn(self.w, prompt_ids=args[0], prompt_len=args[1], **kw)
+            a, b = (jax.device_get(out[0]), jax.device_get(out[1]))
+            dt = time.perf_counter() - t0
+        else:
+            a, b = (jax.device_get(out[0]), jax.device_get(out[1]))
+            dt = t_first
 
         offset = P - len(prompt_ids)
         if self.prefill:
@@ -509,7 +519,7 @@ class Engine:
             predictions=[int(p) for p in preds],
             text=text,
             tokens_per_s=n_steps / dt,
-            prep_ms=t_first * 1e3,
+            prep_ms=(t_first * 1e3 if time_it else 0.0),
             eval_ms_per_token=dt / n_steps * 1e3,
             logprobs=lp_out,
         )
@@ -551,7 +561,7 @@ class Engine:
 
     def generate_speculative(self, prompt_ids: Sequence[int],
                              n_new: int = 30, draft_effort: float = 0.25,
-                             k: int = 8) -> Reply:
+                             k: int = 8, time_it: bool = False) -> Reply:
         """Self-speculative greedy decode: emits EXACTLY the effort=1.0
         greedy continuation, but drafts k tokens per round at
         draft_effort and verifies them in one batched full-effort pass
@@ -577,12 +587,17 @@ class Engine:
                              prompt_len=args[1])
         out[0].block_until_ready()
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = self._fns[key](self.w, prompt_ids=args[0],
-                             prompt_len=args[1])
-        ids, n_gen, n_it = (jax.device_get(out[0]), int(out[1]),
-                            int(out[2]))
-        dt = time.perf_counter() - t0
+        if time_it:
+            t0 = time.perf_counter()
+            out = self._fns[key](self.w, prompt_ids=args[0],
+                                 prompt_len=args[1])
+            ids, n_gen, n_it = (jax.device_get(out[0]), int(out[1]),
+                                int(out[2]))
+            dt = time.perf_counter() - t0
+        else:
+            ids, n_gen, n_it = (jax.device_get(out[0]), int(out[1]),
+                                int(out[2]))
+            dt = t_first
         n = min(n_gen, n_new)
         toks = [int(t) for t in ids[len(prompt_ids):len(prompt_ids) + n]]
         if self.eos_id in toks:

@@ -44,14 +44,25 @@ def _arr(reader: MultiShardReader, name: str) -> jnp.ndarray:
 def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
                     cfg: ModelConfig, bcfg: BucketConfig,
                     percent_load: Optional[float] = None,
-                    rows_sorted: bool = False) -> BucketedMatrix:
+                    rows_sorted: bool = False,
+                    load_core: bool = False) -> BucketedMatrix:
     """Stack per-instance tensors (one per prefix) into one packed
-    BucketedMatrix whose n_experts = len(prefixes)."""
+    BucketedMatrix whose n_experts = len(prefixes).
+
+    load_core=True reads the converter's optional `.core` dense copies
+    (stored in the baked/permuted row order, convert.py store_core) into
+    the `dense` field, enabling the effort=1.0 MXU path and dense
+    prefill on LOADED checkpoints (the reference always has its `core`
+    option, loader.swift:46-166). Only honored at full percent_load —
+    a truncated bucket layout no longer matches the dense copy."""
     info = reader._reader(prefixes[0] + ".vals").info(prefixes[0] + ".vals")
     is_bf16 = info["dtype"] == "BF16"
     K_stored = None
     vals_l, pos_l, stats_l, probes_l, scales_l = [], [], [], [], []
-    ov_l, oi_l, do_l = [], [], []
+    ov_l, oi_l, do_l, core_l = [], [], [], []
+    load_core = (load_core
+                 and (percent_load is None or percent_load >= 1.0)
+                 and all(p + ".core" in reader for p in prefixes))
     for p in prefixes:
         v = (_bf16(reader, p + ".vals") if is_bf16
              else _arr(reader, p + ".vals"))
@@ -66,6 +77,8 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
             oi_l.append(_arr(reader, p + ".outlier_idx"))
         if p + ".seg_order" in reader:
             do_l.append(_arr(reader, p + ".seg_order"))
+        if load_core:
+            core_l.append(_bf16(reader, p + ".core"))
 
     stats = jnp.stack(stats_l)                     # [E, in, K_stored]
     E, in_dim, K_stored = stats.shape
@@ -123,7 +136,7 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
         scales=jnp.stack(scales_l) if scales_l else None,
         outlier_vals=jnp.stack(ov_l) if ov_l else None,
         outlier_idx=jnp.stack(oi_l) if oi_l else None,
-        dense=None,
+        dense=jnp.stack(core_l) if core_l else None,
         seg_order=(jnp.stack(do_l) if do_l else None),
         in_dim=in_dim, out_dim=out_dim, bucket_size=B, chunk_rows=G,
         n_ranks=K, n_experts=E, dtype_name=bcfg.dtype,
@@ -240,12 +253,19 @@ def auto_percent_load(cfg: ModelConfig, bcfg: BucketConfig,
 
 def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
                     model: Optional[str] = None,
-                    auto_adjust: bool = False) -> tuple:
+                    auto_adjust: bool = False,
+                    load_dense="auto") -> tuple:
     """Returns (ModelWeights, ModelConfig, BucketConfig).
 
     auto_adjust=True (and no explicit percent_load): degrade
     percent_load so the weights fit the device HBM, like the reference's
-    autoAdjustPercent RAM probe."""
+    autoAdjustPercent RAM probe.
+
+    load_dense: read the converter's `.core` dense copies (when stored)
+    into each projection's `dense` field — effort=1.0 MXU decode + dense
+    prefill on loaded checkpoints. "auto" loads them when they exist and
+    buckets+dense together fit ~80% of device HBM; True forces (when
+    stored); False skips. Ignored under truncated loading."""
     cfg, bcfg = load_config(ckpt_dir)
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         _cj = json.load(f)
@@ -256,18 +276,38 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
     r = MultiShardReader(ckpt_dir, model)
     L, E = cfg.n_layers, cfg.n_experts
 
+    want_core = bool(load_dense)
+    if load_dense == "auto" and (percent_load is None
+                                 or percent_load >= 1.0):
+        probe = ("layers.0.attention.wqkv.core" if fused
+                 else "layers.0.attention.wq.core")
+        if probe in r:
+            try:
+                import jax
+                hbm = jax.devices()[0].memory_stats()["bytes_limit"]
+            except Exception:
+                hbm = 16 * 2**30
+            import dataclasses as _dc
+            dense_bytes = model_weight_bytes(
+                cfg, _dc.replace(bcfg, dtype="bf16"))
+            total = model_weight_bytes(cfg, bcfg) + dense_bytes
+            want_core = total <= int(hbm * 0.8)
+        else:
+            want_core = False
+
     def attn(p):
         # wo's input space (attention output) is never calibration-sorted
         return _stack_bucketed(
             r, [f"layers.{l}.attention.{p}" for l in range(L)],
             cfg, bcfg, percent_load,
-            rows_sorted=calibrated and p != "wo")
+            rows_sorted=calibrated and p != "wo", load_core=want_core)
 
     def ffn(p):
         return _stack_bucketed(
             r, [f"layers.{l}.feed_forward.experts.{e}.{p}"
                 for l in range(L) for e in range(E)],
-            cfg, bcfg, percent_load, rows_sorted=calibrated)
+            cfg, bcfg, percent_load, rows_sorted=calibrated,
+            load_core=want_core)
 
     if fused:
         proj = dict(wq=None, wk=None, wv=None, w1=None, w3=None,
@@ -293,3 +333,32 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
     )
     r.close()
     return w, cfg, bcfg
+
+
+def attach_dense_bucketed(bm: BucketedMatrix) -> BucketedMatrix:
+    """Rebuild a bf16 dense copy from the buckets (permuted space) and
+    attach it — the on-demand alternative to stored `.core` tensors for
+    checkpoints converted without store_core. Exact up to quantization
+    (int8/int4 reconstruct their dequantized values)."""
+    import dataclasses
+    if bm.dense is not None:
+        return bm
+    dense = jnp.stack([
+        bm.reconstruct_dense(e, permuted_space=True).astype(jnp.bfloat16)
+        for e in range(bm.n_experts)])
+    return dataclasses.replace(bm, dense=dense)
+
+
+def attach_dense(w: ModelWeights) -> ModelWeights:
+    """attach_dense_bucketed over every projection container: gives a
+    loaded model the effort=1.0 MXU decode path and dense prefill even
+    when the checkpoint stored no `.core` copies. Costs one extra full
+    bf16 weight set of HBM."""
+    import dataclasses
+    layers = w.layers
+    repl = {f: attach_dense_bucketed(getattr(layers, f))
+            for f in ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                      "wqkv", "w13")
+            if getattr(layers, f) is not None}
+    return dataclasses.replace(
+        w, layers=dataclasses.replace(layers, **repl))

@@ -173,22 +173,52 @@ def bucket_matmul(bm: BucketedMatrix, V: jax.Array, effort,
     """Batched effort-truncated matmul: V [T, in] -> [T, out] f32.
 
     The prefill counterpart of bucket_matvec (a case the reference never
-    faced — it is strictly batch-1, SURVEY §7 "Batch > 1"). Prefill is
-    compute-bound, so "auto" resolves to the dense MXU path when a dense
-    copy exists; otherwise each token keeps its own exact bucketMul
-    selection (vmapped jnp semantics — per-token cutoffs, per-token
-    dispatch)."""
+    faced — it is strictly batch-1, SURVEY §7 "Batch > 1"). "auto":
+      - effort >= 1 with a dense copy -> dense MXU matmul;
+      - effort < 1 on TPU, row-prefix layout -> the batched one-launch
+        MXU kernel (kernels/fused_stream.mxu_matvec_batch: per-token
+        cutoffs + row-prefix streaming — prefill-at-effort at kernel
+        speed, not vmapped one-hot semantics);
+      - otherwise the exact vmapped jnp semantics (CPU/tests)."""
     if impl == "auto":
         static_full = (isinstance(effort, (int, float))
                        and float(effort) >= 0.999)
-        impl = "dense" if (bm.dense is not None and static_full) else "jnp"
+        if bm.dense is not None and static_full:
+            impl = "dense"
+        elif (jax.default_backend() == "tpu" and bm.bucket_size == 1
+              and _supports_batch_kernel(bm)):
+            impl = "pallas"
+        else:
+            impl = "jnp"
     if impl == "dense":
         assert bm.dense is not None, "dense path needs keep_dense weights"
         e = jnp.asarray(expert, jnp.int32)
         Vp = jax.vmap(lambda v: bm.permute_v(v, e))(V)
         return jnp.dot(Vp.astype(jnp.bfloat16), bm.dense[e],
                        preferred_element_type=jnp.float32)
-    # per-token bucketMul; pallas kernels are matvec-shaped, so batched
-    # callers get the vectorized-XLA semantics path
+    if impl == "pallas":
+        from effort_tpu.kernels.fused_stream import mxu_matvec_batch
+        T = V.shape[0]
+        Tp = _round_up(max(T, 8), 8)
+        Vp = (V if Tp == T
+              else jnp.concatenate([V, jnp.zeros((Tp - T, V.shape[1]),
+                                                 V.dtype)]))
+        # padding slots carry effort 0 (disabled in-kernel)
+        eff = jnp.where(jnp.arange(Tp) < T,
+                        jnp.asarray(effort, jnp.float32), 0.0)
+        y = mxu_matvec_batch(bm, Vp, eff, expert,
+                             tile_blocks=_tile_blocks(bm))[:T]
+        if bm.outlier_vals is not None:
+            e = jnp.asarray(expert, jnp.int32)
+            Vperm = jax.vmap(lambda v: bm.permute_v(v, e))(V)
+            ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
+            y = y.at[:, oi[:, 1]].add(Vperm[:, oi[:, 0]] * ov[None, :])
+        return y
+    # per-token exact bucketMul semantics (vectorized XLA)
     return jax.vmap(
         lambda v: bucket_matvec_jnp(bm, v, effort, expert))(V)
+
+
+def _supports_batch_kernel(bm: BucketedMatrix) -> bool:
+    from effort_tpu.kernels.fused_stream import supports_fused
+    return supports_fused(bm)

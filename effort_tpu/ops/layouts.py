@@ -164,11 +164,18 @@ class BucketedMatrix:
         return (unpack_positions(self.vals, 16)
                 - jnp.int8(8))[..., :self.n_buckets]
 
-    def reconstruct_dense(self, expert: int = 0) -> jax.Array:
+    def reconstruct_dense(self, expert: int = 0,
+                          permuted_space: bool = False) -> jax.Array:
         """Scatter vals back to a dense [in_dim, out_dim] f32 matrix.
 
         Inverse of bucketization (up to dropped ranks under truncated
         loading). Used for the effort=1.0 dense path and for tests.
+
+        permuted_space=True keeps the rows in the bucket layout's
+        (calibration-permuted) order — the space the `dense` field uses
+        (bucket_matvec's dense path permutes v before the matmul), so
+        the result can be attached as a dense copy (see
+        weights.attach_dense).
         """
         E, K, G, B = self.n_experts, self.n_ranks, self.chunk_rows, self.bucket_size
         nb = self.n_buckets
@@ -189,10 +196,11 @@ class BucketedMatrix:
             oval = self.outlier_vals[expert]
             flat = flat.at[oidx[:, 0] * self.out_dim + oidx[:, 1]].add(oval)
             dense = flat.reshape(self.in_dim, self.out_dim)
-        order = self.dim_order_full(expert)
-        if order is not None:
-            # rows were permuted at convert time; invert for the original
-            dense = dense[jnp.argsort(order)]
+        if not permuted_space:
+            order = self.dim_order_full(expert)
+            if order is not None:
+                # rows were permuted at convert time; invert to original
+                dense = dense[jnp.argsort(order)]
         return dense
 
     def memory_bytes(self) -> int:

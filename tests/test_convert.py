@@ -302,3 +302,54 @@ def test_convert_model_auto_end_to_end(tmp_path, rng):
     lg, _, _ = forward_token(w, cfg2, jnp.asarray(3), jnp.asarray(0),
                              kc, vc, effort=1.0, impl="jnp")
     assert bool(jnp.isfinite(lg).all())
+
+
+def test_load_dense_cores(tmp_path, rng):
+    """store_core checkpoints load their dense copies (load_dense) and
+    route effort=1.0 / prefill through the dense MXU path; attach_dense
+    reconstructs an equivalent copy when cores were not stored
+    (reference: loader.swift:46-166 always has its `core` option)."""
+    from effort_tpu.models.weights import attach_dense
+    from effort_tpu.ops.bucketmul import bucket_matvec, bucket_matmul
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=4, chunk_rows=8)
+    src, dst = tmp_path / "hf", tmp_path / "b"
+    src.mkdir()
+    tensors = _write_hf_ckpt(src, cfg, rng)
+    convert_checkpoint(str(src), str(dst), cfg, bcfg, store_core=True,
+                       progress=lambda *a: None)
+
+    w, cfg2, _ = load_bucketized(str(dst), load_dense=True)
+    wq = w.layers.wq
+    assert wq.dense is not None and wq.dense.shape[0] == cfg.n_layers
+
+    # dense copy == the HF weight (transposed), bf16-rounded
+    wq_hf = tensors[HF_NAME_MAPS["mistral"]["wq"].format(l=0)]
+    x = rng.standard_normal(cfg.dim).astype(np.float32)
+    y_dense = x @ wq_hf.T
+    y = np.asarray(bucket_matvec(wq, jnp.asarray(x), 1.0, expert=0,
+                                 impl="dense"))
+    cs = y @ y_dense / (np.linalg.norm(y) * np.linalg.norm(y_dense))
+    assert cs > 0.999, cs
+
+    # batched prefill auto-routes to the dense path at effort 1.0
+    X = rng.standard_normal((3, cfg.dim)).astype(np.float32)
+    Y = np.asarray(bucket_matmul(wq, jnp.asarray(X), 1.0, expert=0))
+    Yd = X @ wq_hf.T
+    cs_b = (Y * Yd).sum() / (np.linalg.norm(Y) * np.linalg.norm(Yd))
+    assert cs_b > 0.999, cs_b
+
+    # load_dense=False keeps the old behavior
+    w0, *_ = load_bucketized(str(dst), load_dense=False)
+    assert w0.layers.wq.dense is None
+
+    # attach_dense reconstruction matches the stored core
+    w1 = attach_dense(w0)
+    d_rec = np.asarray(w1.layers.wq.dense[0], dtype=np.float32)
+    d_core = np.asarray(wq.dense[0], dtype=np.float32)
+    assert np.allclose(d_rec, d_core, atol=2e-2), \
+        np.abs(d_rec - d_core).max()
+
+    # truncated loading never attaches mismatched cores
+    wt, *_ = load_bucketized(str(dst), percent_load=0.5, load_dense=True)
+    assert wt.layers.wq.dense is None
