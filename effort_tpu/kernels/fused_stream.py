@@ -451,7 +451,7 @@ def _make_kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
 
 def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
                      expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-                     slots: int = 0) -> jax.Array:
+                     slots: int = 0, interpret: bool = False) -> jax.Array:
     """Batched one-launch row-prefix effort matmul.
 
     V: [T, in] activations (T decode slots, padded to a multiple of 8);
@@ -503,6 +503,7 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, OB), jnp.float32),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),
@@ -554,12 +555,14 @@ def _vmem_limit(bm: BucketedMatrix, tile_blocks: int, slots: int) -> int:
 
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
                expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-               slots: int = 0) -> jax.Array:
+               slots: int = 0, interpret: bool = False) -> jax.Array:
     """One-launch row-prefix effort matvec (bucket_size=1 layout).
 
     effort may be a python float OR a traced scalar — it rides into the
     kernel as a 16.16 fixed-point SMEM scalar, so moving the effort knob
-    never recompiles. slots=0 sizes the DMA ring from the VMEM budget."""
+    never recompiles. slots=0 sizes the DMA ring from the VMEM budget.
+    interpret=True runs the kernel under the pallas TPU interpreter
+    (CPU CI parity tests for the production path)."""
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -606,6 +609,7 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, OB), jnp.float32),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),
@@ -615,11 +619,11 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
 
 def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
                  expert=0, alpha: float = 1.3, tile_blocks: int = 8,
-                 slots: int = 3) -> jax.Array:
+                 slots: int = 3, interpret: bool = False) -> jax.Array:
     """One-launch effort matvec (selection + streaming fused)."""
     if bm.bucket_size == 1:
         return mxu_matvec(bm, v, effort, expert, alpha=alpha,
-                          tile_blocks=1, slots=slots)
+                          tile_blocks=1, slots=slots, interpret=interpret)
     B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
     nc = bm.n_chunks
     assert nc % tile_blocks == 0, (nc, tile_blocks)
@@ -667,6 +671,7 @@ def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, OB), jnp.float32),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=_vmem_limit(bm, tile_blocks, slots)),

@@ -905,6 +905,34 @@ def assemble_weights(raw: dict, cfg: ModelConfig, bcfg: BucketConfig,
     )
 
 
+def tile_layers(w: ModelWeights, cfg1: ModelConfig,
+                n_layers: int) -> ModelWeights:
+    """Replicate a 1-layer model's layer stack to n_layers DISTINCT HBM
+    copies (device-side tile; no re-generation, no re-bucketization).
+
+    Benchmark utility: synthetic full-depth models cost minutes of
+    on-device RNG + bucketize sorting to materialize (it scales with
+    depth); tiling one layer keeps the byte volume, layouts, and
+    selection-count distribution of a real model at ~1/depth the init
+    cost. Layer CONTENTS are identical — fine for timing (same HBM
+    traffic), meaningless for quality evals."""
+    assert cfg1.n_layers == 1, "tile_layers expects a 1-layer source"
+    from effort_tpu.ops.layouts import concat_bucketed
+    L = n_layers
+    lw = w.layers
+    repl = {}
+    for f in ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "wqkv", "w13"):
+        bm = getattr(lw, f)
+        if bm is not None:
+            repl[f] = concat_bucketed([bm] * L)
+    repl["attn_norm"] = jnp.tile(lw.attn_norm, (L, 1))
+    repl["ffn_norm"] = jnp.tile(lw.ffn_norm, (L, 1))
+    if lw.ffn_gate is not None:
+        repl["ffn_gate"] = jnp.tile(lw.ffn_gate, (L, 1, 1))
+    return dataclasses.replace(
+        w, layers=dataclasses.replace(lw, **repl))
+
+
 def init_random_weights(cfg: ModelConfig, bcfg: BucketConfig,
                         seed: int = 0, keep_dense: bool = False,
                         scale: float = 0.02, calibrate: bool = False,

@@ -39,3 +39,9 @@ def _clear_jax_caches_after_module():
     only intra-module reuse."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast core-coverage tier (pytest -m smoke, < 3 min)")

@@ -8,6 +8,8 @@ from effort_tpu.config import BucketConfig
 from effort_tpu.ops.bucketize import bucketize
 from effort_tpu.ops.oracle import bucketize_oracle
 
+pytestmark = pytest.mark.smoke
+
 IN, OUT = 64, 256
 
 

@@ -14,6 +14,8 @@ from effort_tpu.ops.effort import select_blocks
 from effort_tpu.ops import oracle
 from effort_tpu.kernels.gather_mul import gather_bucket_matvec
 
+pytestmark = pytest.mark.smoke
+
 IN, OUT = 64, 256
 
 

@@ -9,6 +9,8 @@ from effort_tpu.runtime.safetensors_io import (SafeTensorReader,
                                                SafeTensorWriter,
                                                MultiShardReader)
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture
 def ckpt(tmp_path, rng):

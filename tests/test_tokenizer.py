@@ -12,6 +12,8 @@ import pytest
 
 from effort_tpu.runtime.tokenizer import Tokenizer
 
+pytestmark = pytest.mark.smoke
+
 REF_JSON = "/root/reference/tokenizer.json"
 
 SAMPLES = [
