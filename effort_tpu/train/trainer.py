@@ -124,7 +124,12 @@ def forward(params: Dict, cfg: ModelConfig, toks: jax.Array) -> jax.Array:
                            lp["w2"][l])
         return h, None
 
-    h, _ = jax.lax.scan(layer, h, jnp.arange(cfg.n_layers))
+    # remat each layer: with [B,H,T,T] score tensors, saving every
+    # layer's attention activations for backward blows HBM at training
+    # dims; recomputing them is the standard TPU trade (HBM is the
+    # bottleneck, MXU FLOPs are cheap).
+    h, _ = jax.lax.scan(jax.checkpoint(layer), h,
+                        jnp.arange(cfg.n_layers))
     h = _rms_norm(h, params["norm"], cfg.norm_eps)
     return jnp.einsum("btd,vd->btv", h, params["lm_head"])
 

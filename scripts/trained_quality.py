@@ -1,0 +1,353 @@
+"""Trained-weight quality evidence pipeline.
+
+The reference's flagship quality story is measured on a *trained*
+checkpoint (Mistral-7B-Instruct): QA accuracy roughly flat down to 25%
+effort (docs/ryc/ryc0.5b.png; benchmarks/benchmark.swift:52-93) and
+~80% argmax agreement at 25% effort (docs/ryc/ryc0.4.png;
+benchmark.swift:128-156). This sandbox ships no checkpoints, so this
+script manufactures the evidence end-to-end on-device:
+
+  corpus  -> byte corpus from local text (stdlib + repo sources) plus a
+             block of synthetic memorizable facts (the QA-task analog)
+  train   -> small-but-real byte-level Mistral-arch model, trained on
+             the TPU with effort_tpu.train until margins are decisive
+  convert -> calibrated bucket checkpoints (bf16 + int8, B=1 row-prefix
+             production layout) via the normal convert_checkpoint path
+  eval    -> agreement / NLL / KL / fact-recall sweeps down the effort
+             scale on the production Engine (dynamic effort: ONE
+             compiled executable serves the whole sweep)
+  report  -> QUALITY_trained.md + quality_trained.json
+
+Every stage is resumable; artifacts live under runs/trained_quality/.
+
+Usage: python scripts/trained_quality.py [--stage all|corpus|train|convert|eval|report]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+EFFORTS = [1.0, 0.8, 0.6, 0.5, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15,
+           0.12, 0.1, 0.08, 0.05]
+
+# Reference chart values to print next to ours (BASELINE.md):
+REF_AGREEMENT = {1.0: 0.995, 0.5: 0.94, 0.4: 0.90, 0.3: 0.85,
+                 0.25: 0.80, 0.2: 0.70}
+
+
+# --------------------------------------------------------------------------
+# corpus
+# --------------------------------------------------------------------------
+
+def build_facts(n_facts: int = 128, seed: int = 7):
+    """Synthetic memorizable facts: '<prop> of <subj> is <val>.'.
+
+    The QA-accuracy analog for a byte LM: after training, recall
+    accuracy per effort plays the role of the reference's 4-choice quiz
+    accuracy (benchmark.swift:52-93) — a task-level metric with a hard
+    right answer, not just agreement-with-full-effort."""
+    rng = random.Random(seed)
+    props = ["color", "size", "shape", "sound", "taste", "weight",
+             "speed", "age"]
+    # invented subject names: CVCVC patterns, no collisions
+    cons, vow = "bdfgklmnprstvz", "aeiou"
+    subjects = set()
+    while len(subjects) < n_facts:
+        subjects.add("".join(rng.choice(cons if i % 2 == 0 else vow)
+                             for i in range(5)))
+    vals = ["amber", "brisk", "coral", "dusky", "ebony", "frost",
+            "gold", "hazel", "ivory", "jade", "khaki", "lilac",
+            "mauve", "navy", "olive", "pearl", "quartz", "rose",
+            "slate", "teal", "umber", "violet", "wheat", "xenon",
+            "yarrow", "zinc"]
+    facts = []
+    for s in sorted(subjects):
+        facts.append({"prop": rng.choice(props), "subj": s,
+                      "val": rng.choice(vals)})
+    return facts
+
+
+def fact_line(f) -> str:
+    return f"the {f['prop']} of {f['subj']} is {f['val']}.\n"
+
+
+def stage_corpus(d: str, target_mb: float = 10.0, fact_repeats: int = 60):
+    paths = []
+    for pat in (f"{ROOT}/effort_tpu/**/*.py", f"{ROOT}/tests/*.py",
+                f"{ROOT}/scripts/*.py", f"{ROOT}/docs/*.md",
+                f"{ROOT}/*.md"):
+        paths += sorted(glob.glob(pat, recursive=True))
+    import sysconfig
+    stdlib = sysconfig.get_paths()["stdlib"]
+    for pat in (f"{stdlib}/*.py", f"{stdlib}/email/*.py",
+                f"{stdlib}/json/*.py", f"{stdlib}/unittest/*.py",
+                f"{stdlib}/asyncio/*.py", f"{stdlib}/xml/**/*.py",
+                f"{stdlib}/encodings/*.py", f"{stdlib}/importlib/*.py",
+                f"{stdlib}/logging/*.py", f"{stdlib}/multiprocessing/*.py"):
+        paths += sorted(glob.glob(pat, recursive=True))
+    chunks = []
+    total = 0
+    limit = int(target_mb * 1e6)
+    for p in paths:
+        try:
+            b = open(p, "rb").read()
+        except OSError:
+            continue
+        if total >= limit:
+            break
+        chunks.append(b)
+        total += len(b)
+
+    facts = build_facts()
+    fact_lines = [fact_line(f).encode() for f in facts] * fact_repeats
+    # splice fact lines between 4 KB text chunks, shuffled, so facts are
+    # seen in many different contexts
+    segs = []
+    for b in chunks:
+        segs += [b[i:i + 4096] for i in range(0, len(b), 4096)]
+    segs += fact_lines
+    random.Random(11).shuffle(segs)
+    corpus = np.frombuffer(b"".join(segs), np.uint8)
+    os.makedirs(d, exist_ok=True)
+    np.save(f"{d}/corpus.npy", corpus)
+    json.dump(facts, open(f"{d}/facts.json", "w"), indent=1)
+    print(f"corpus: {len(corpus)/1e6:.1f} MB "
+          f"({len(facts)} facts x {fact_repeats} reps)")
+
+
+# --------------------------------------------------------------------------
+# model / train
+# --------------------------------------------------------------------------
+
+def model_cfg():
+    from effort_tpu.config import ModelConfig
+    return ModelConfig(name="bytelm-90m", dim=1024, hidden_dim=3584,
+                       n_layers=6, n_heads=16, n_kv_heads=8, head_dim=64,
+                       vocab_size=256, max_seq_len=2048, rope_theta=1e6)
+
+
+def stage_train(d: str, steps: int, lr: float = 3e-4):
+    from effort_tpu.train import TrainConfig, export_hf, train
+    cfg = model_cfg()
+    corpus = np.load(f"{d}/corpus.npy")
+    tcfg = TrainConfig(batch=32, seq_len=512, steps=steps, lr=lr,
+                       warmup=min(200, steps // 10), scan_chunk=50,
+                       holdout_frac=0.02)
+    t0 = time.time()
+    params, hist = train(cfg, corpus, tcfg)
+    print(f"trained {steps} steps in {time.time()-t0:.0f}s; "
+          f"final train {hist[-1][1]:.3f} holdout {hist[-1][2]:.3f} nats")
+    export_hf(params, cfg, f"{d}/hf")
+    json.dump({"steps": steps, "history": hist,
+               "seconds": time.time() - t0},
+              open(f"{d}/train_history.json", "w"))
+
+
+# --------------------------------------------------------------------------
+# convert (uncalibrated probe pass -> activation calib -> baked convert)
+# --------------------------------------------------------------------------
+
+def stage_convert(d: str):
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.convert.calibrate import collect_act_rms
+    from effort_tpu.convert.convert import convert_checkpoint
+    from effort_tpu.models.weights import load_bucketized
+
+    cfg = model_cfg()
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
+
+    calib_npz = f"{d}/calib.npz"
+    if not os.path.exists(calib_npz):
+        tmp = f"{d}/ckpt_uncal"
+        if not os.path.exists(f"{tmp}/config.json"):
+            convert_checkpoint(f"{d}/hf", tmp, cfg, bcfg,
+                               progress=lambda *a: None)
+        w, cfg2, _ = load_bucketized(tmp)
+        corpus = np.load(f"{d}/corpus.npy")
+        rng = np.random.default_rng(3)
+        seqs = [corpus[s:s + 192].astype(int).tolist()
+                for s in rng.integers(0, len(corpus) - 200, 4)]
+        t0 = time.time()
+        rms = collect_act_rms(w, cfg2, seqs, impl="auto")
+        np.savez(calib_npz, **{k: np.asarray(v) for k, v in rms.items()})
+        print(f"calibration: {time.time()-t0:.0f}s")
+
+    for dtype in ("bf16", "int8"):
+        dst = f"{d}/ckpt_{dtype}"
+        if os.path.exists(f"{dst}/config.json"):
+            print(f"{dst}: exists, skipping")
+            continue
+        b = dataclasses.replace(bcfg, dtype=dtype)
+        t0 = time.time()
+        convert_checkpoint(f"{d}/hf", dst, cfg, b, calib=calib_npz,
+                           store_core=(dtype == "bf16"),
+                           progress=lambda *a: None)
+        print(f"converted {dst} in {time.time()-t0:.0f}s")
+
+
+# --------------------------------------------------------------------------
+# eval
+# --------------------------------------------------------------------------
+
+def recall_sweep(engine, facts, efforts, n_facts: int = 64):
+    """Task-level accuracy analog of the reference quiz: greedy-decode
+    the fact completion at each effort; exact byte match scores 1."""
+    out = {}
+    for e in efforts:
+        hits = 0
+        for f in facts[:n_facts]:
+            prompt = f"the {f['prop']} of {f['subj']} is "
+            want = f["val"].encode()
+            r = engine.generate(list(prompt.encode()),
+                                n_new=len(want), effort=e)
+            got = bytes(t % 256 for t in r.token_ids)
+            hits += int(got == want)
+        out[e] = hits / n_facts
+    return out
+
+
+def stage_eval(d: str):
+    from effort_tpu.eval import harness
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.weights import load_bucketized
+
+    corpus = np.load(f"{d}/corpus.npy")
+    facts = json.load(open(f"{d}/facts.json"))
+    split = int(len(corpus) * 0.98)   # trainer holdout boundary
+    hold = corpus[split:].astype(int).tolist()
+    results = {}
+    for dtype in ("bf16", "int8"):
+        w, cfg, _ = load_bucketized(f"{d}/ckpt_{dtype}")
+        eng = Engine(w, cfg, impl="auto", dynamic_effort=True,
+                     eos_id=-1)
+        r = {}
+        t0 = time.time()
+        r["agreement"] = harness.agreement_sweep(
+            eng, hold[:128], n_tokens=128, efforts=EFFORTS)
+        print(f"[{dtype}] agreement done {time.time()-t0:.0f}s")
+        r["nll"] = harness.nll_sweep(eng, hold[1000:2024],
+                                     efforts=EFFORTS)
+        print(f"[{dtype}] nll done {time.time()-t0:.0f}s")
+        r["kl"] = harness.kl_divergence_sweep(eng, hold[2048:2560],
+                                              efforts=EFFORTS)
+        print(f"[{dtype}] kl done {time.time()-t0:.0f}s")
+        r["recall"] = recall_sweep(eng, facts, EFFORTS)
+        print(f"[{dtype}] recall done {time.time()-t0:.0f}s")
+        results[dtype] = r
+        for name, sweep in r.items():
+            row = "  ".join(f"{e:.2f}:{v:.3f}" for e, v in sweep.items())
+            print(f"[{dtype}] {name}: {row}")
+    json.dump(results, open(f"{d}/eval.json", "w"), indent=1,
+              default=float)
+
+
+# --------------------------------------------------------------------------
+# report
+# --------------------------------------------------------------------------
+
+def stage_report(d: str):
+    res = json.load(open(f"{d}/eval.json"))
+    hist = json.load(open(f"{d}/train_history.json"))
+    lines = [
+        "# Trained-weight quality evidence",
+        "",
+        "Effort-vs-quality measured on a **trained** checkpoint — the",
+        "reference's flagship claim class (QA accuracy flat to ~25% "
+        "effort,",
+        "docs/ryc/ryc0.5b.png; ~80% agreement @25%, ryc0.4.png) — not "
+        "on",
+        "random weights. The sandbox ships no checkpoints, so the model "
+        "is",
+        "trained here: byte-level Mistral-architecture LM "
+        "(dim 1024, 6 layers,",
+        "GQA 16/8 heads, SwiGLU; ~90M params) on ~10 MB of local text "
+        "plus",
+        "a synthetic-facts block, with `effort_tpu.train` (forward "
+        "parity with",
+        "the serving stack is asserted by "
+        "tests/test_train.py). Conversion is",
+        "the production path: activation-calibrated baked relayout, "
+        "B=1",
+        "row-prefix layout, bf16 and int8 bucket checkpoints; eval "
+        "runs the",
+        "production Engine with dynamic (traced) effort.",
+        "",
+        f"Training: {hist['steps']} steps, final holdout "
+        f"{hist['history'][-1][2]:.3f} nats/byte "
+        f"({hist['seconds']:.0f}s on one TPU v5e chip).",
+        "",
+        "Regenerate: `python scripts/trained_quality.py --stage all`",
+        "",
+    ]
+    name_note = {
+        "agreement": ("argmax agreement vs effort=1.0 over a 128-token "
+                      "generated continuation (reference: ryc0.4.png; "
+                      "~0.80 @ 25%)"),
+        "nll": "held-out NLL, nats/byte (teacher-forced; lower=better)",
+        "kl": "mean KL(P_full || P_effort), nats (lower=better)",
+        "recall": ("synthetic-fact recall accuracy — the trained-task "
+                   "analog of the reference quiz (ryc0.5b.png: flat to "
+                   "~25%)"),
+    }
+    for dtype, r in res.items():
+        lines.append(f"## {dtype} buckets (B=1 production layout)")
+        lines.append("")
+        efforts = sorted((float(e) for e in r["agreement"]),
+                         reverse=True)
+        hdr = "| metric | " + " | ".join(f"{e:.0%}" for e in efforts) \
+              + " |"
+        lines.append(hdr)
+        lines.append("|---" * (len(efforts) + 1) + "|")
+        for name in ("agreement", "recall", "nll", "kl"):
+            vals = {float(k): v for k, v in r[name].items()}
+            row = f"| {name} | " + " | ".join(
+                f"{vals[e]:.3f}" for e in efforts) + " |"
+            lines.append(row)
+        ref_row = "| reference agreement (7B chart) | " + " | ".join(
+            f"{REF_AGREEMENT[e]:.2f}" if e in REF_AGREEMENT else "—"
+            for e in efforts) + " |"
+        lines.append(ref_row)
+        lines.append("")
+        for name in ("agreement", "recall", "nll", "kl"):
+            lines.append(f"- **{name}**: {name_note[name]}")
+        lines.append("")
+    with open(f"{ROOT}/QUALITY_trained.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    json.dump({"train": hist, "results": res},
+              open(f"{ROOT}/quality_trained.json", "w"), indent=1,
+              default=float)
+    print(f"wrote QUALITY_trained.md + quality_trained.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all")
+    ap.add_argument("--dir", default=f"{ROOT}/runs/trained_quality")
+    ap.add_argument("--steps", type=int, default=4000)
+    args = ap.parse_args()
+    d = args.dir
+    stages = (["corpus", "train", "convert", "eval", "report"]
+              if args.stage == "all" else [args.stage])
+    for s in stages:
+        print(f"=== stage {s} ===", flush=True)
+        {"corpus": lambda: stage_corpus(d),
+         "train": lambda: stage_train(d, args.steps),
+         "convert": lambda: stage_convert(d),
+         "eval": lambda: stage_eval(d),
+         "report": lambda: stage_report(d)}[s]()
+
+
+if __name__ == "__main__":
+    main()
