@@ -417,15 +417,224 @@ def phase_matvec():
     }))
 
 
+# --------------------------------------------------------------------------
+# extra phases (not in the driver orchestration; run by
+# scripts/update_numbers.py to regenerate every published number)
+# --------------------------------------------------------------------------
+
+def phase_int4():
+    """int4 buckets (sign+value nibbles + fp32 outlier correction — the
+    reference's Q4, bucketMulQ4.metal, there 'extremely slow'/unoptimized)
+    on the row-prefix MXU kernel, vs dense bf16."""
+    _arm_watchdog(400)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import effort_tpu  # noqa: F401
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.ops.bucketize import bucketize, calib_row_order
+    from effort_tpu.ops.bucketmul import bucket_matvec, dense_matvec
+    from effort_tpu.utils.timing import chain_time, fold_bounce as bounce
+
+    IN, OUT = 4096, 14336
+    EFFORT = 0.25
+    wt = jax.random.normal(jax.random.key(0), (IN, OUT), jnp.float32) * 0.02
+    rms = jnp.exp(jax.random.normal(jax.random.key(5), (IN,)) * 1.2)
+    pi = calib_row_order(rms)
+    rms_p = rms[pi]
+    bmq = bucketize(wt, BucketConfig(bucket_size=1, chunk_rows=128,
+                                     dtype="int4"), in_perm=pi)
+    bm_d = bucketize(wt, BucketConfig(bucket_size=1, chunk_rows=128),
+                     in_perm=pi, keep_dense=True)
+
+    def acts(seed):
+        return rms_p * jax.random.normal(jax.random.key(seed), (IN,))
+
+    N_HI, REPS = 304, 5
+
+    def mk_dense(n):
+        @jax.jit
+        def run(v, w):
+            def body(i, v):
+                return bounce(dense_matvec(v, w), v)
+            return jax.lax.fori_loop(0, n, body, v)
+        return run
+    t_dense = chain_time(mk_dense, 8, N_HI,
+                         [(acts(100 + i), bm_d.dense[0])
+                          for i in range(12)], reps=REPS)
+
+    def mk_q(n):
+        @jax.jit
+        def run(v, bmx):
+            def body(i, v):
+                return bounce(bucket_matvec(bmx, v, EFFORT, 0,
+                                            impl="pallas"), v)
+            return jax.lax.fori_loop(0, n, body, v)
+        return run
+    t_q = chain_time(mk_q, 8, N_HI,
+                     [(acts(300 + i), bmq) for i in range(12)], reps=REPS)
+
+    cs = []
+    runq = jax.jit(lambda bmx, v: bucket_matvec(bmx, v, EFFORT, 0,
+                                                impl="pallas"))
+    for s in range(900, 916):
+        v = acts(s)
+        yd = np.asarray(dense_matvec(v, bm_d.dense[0]))
+        y = np.asarray(runq(bmq, v))
+        cs.append(float(y @ yd / (np.linalg.norm(y) * np.linalg.norm(yd)
+                                  + 1e-30)))
+    print(json.dumps({
+        "metric": "int4 effort matvec speedup at effort=25% vs dense "
+                  "bf16, w1 shape (1 chip)",
+        "value": round(t_dense / t_q, 3), "unit": "x",
+        "detail": {"t_int4_us": round(t_q * 1e6, 1),
+                   "t_dense_us": round(t_dense * 1e6, 1),
+                   "cos_vs_dense": round(float(np.mean(cs)), 4)},
+    }))
+
+
+def phase_serving():
+    """Batched serving decode (BatchEngine's device step): aggregate
+    tok/s at batch 8, per-slot effort 0.25, fused projections + int8
+    head, reduced depth (scripts/serve_bench.py without the host
+    scheduler — the tunnel adds ~29 ms/roundtrip production won't see)."""
+    _arm_watchdog(700)
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    import effort_tpu  # noqa: F401
+    from effort_tpu.config import BucketConfig, mistral_7b
+    from effort_tpu.models.transformer import (init_random_weights,
+                                               forward_token_batch,
+                                               quantize_head)
+
+    B, L = 8, 4
+    cfg = mistral_7b(n_layers=L, max_seq_len=256)
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
+    w = init_random_weights(cfg, bcfg, seed=0, calibrate=True, fuse=True)
+    w = quantize_head(w)
+    jax.block_until_ready(w.layers.any_w1.vals)
+    KV, D, S = cfg.n_kv_heads, cfg.head_dim, cfg.max_seq_len
+    efforts = jnp.full((B,), 0.25, jnp.float32)
+
+    def decode(w, toks0, n):
+        kc = jnp.zeros((cfg.n_layers, B, S, KV, D), jnp.bfloat16)
+        vc = jnp.zeros_like(kc)
+
+        def step(carry, i):
+            toks, pos, kc, vc = carry
+            logits, kc, vc = forward_token_batch(
+                w, cfg, toks, pos, kc, vc, efforts, impl="auto")
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (toks, pos + 1, kc, vc), toks
+
+        (_, _, _, _), out = jax.lax.scan(
+            step, (toks0, jnp.zeros((B,), jnp.int32), kc, vc),
+            jnp.arange(n, dtype=jnp.int32))
+        return out
+
+    f_lo = jax.jit(functools.partial(decode, n=8))
+    f_hi = jax.jit(functools.partial(decode, n=40))
+
+    def run(f, seed):
+        toks0 = jax.random.randint(jax.random.key(seed), (B,), 1, 30000)
+        t0 = time.time()
+        jax.device_get(f(w, toks0))
+        return time.time() - t0
+
+    run(f_lo, 0)
+    run(f_hi, 1)
+    lo = min(run(f_lo, 2 + i) for i in range(3))
+    hi = min(run(f_hi, 5 + i) for i in range(3))
+    per_step = (hi - lo) / 32
+    print(json.dumps({
+        "metric": "batched serving aggregate tok/s (batch 8, effort 25%, "
+                  f"{L}L Mistral dims, 1 chip)",
+        "value": round(B / per_step, 1), "unit": "tok/s",
+        "detail": {"ms_per_step": round(per_step * 1e3, 2),
+                   "batch": B, "n_layers": L,
+                   "agg_toks_32L_equiv": round(B / (per_step * 32 / L), 1)},
+    }))
+
+
+def phase_moe():
+    """Mixtral-dims MoE decode (top-2 of 8 experts, per-token expert
+    effort) — the config the reference wired but never got working
+    (docs/q8.html 'one bug away'). Reduced depth, int8 buckets."""
+    _arm_watchdog(1300)
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    import effort_tpu  # noqa: F401
+    from effort_tpu.config import BucketConfig, mixtral_8x7b
+    from effort_tpu.models.transformer import (init_random_weights,
+                                               forward_token,
+                                               make_kv_cache,
+                                               quantize_head)
+
+    L = 4
+    cfg = mixtral_8x7b(n_layers=L, max_seq_len=256)
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="int8")
+    w = init_random_weights(cfg, bcfg, seed=0, calibrate=True)
+    w = quantize_head(w)
+    jax.block_until_ready(w.layers.any_w1.vals)
+
+    def decode(w, tok0, effort, n):
+        kc, vc = make_kv_cache(cfg)
+
+        def step(carry, pos):
+            tok, kc, vc = carry
+            logits, kc, vc = forward_token(w, cfg, tok, pos, kc, vc,
+                                           effort=effort, impl="pallas")
+            return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
+
+        (tok, _, _), _ = jax.lax.scan(
+            step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
+        return tok
+
+    detail = {"n_layers": L, "n_experts": cfg.n_experts, "dtype": "int8"}
+    toks = iter(jnp.arange(2, 80, dtype=jnp.int32))
+    value = None
+    for e in (0.25, 0.5, 1.0):
+        f_lo = jax.jit(functools.partial(decode, effort=jnp.float32(e),
+                                         n=8))
+        f_hi = jax.jit(functools.partial(decode, effort=jnp.float32(e),
+                                         n=40))
+
+        def t(f):
+            t0 = time.perf_counter()
+            jax.device_get(f(w, next(toks)))
+            return time.perf_counter() - t0
+
+        t(f_lo), t(f_hi)
+        lo = min(t(f_lo) for _ in range(3))
+        hi = min(t(f_hi) for _ in range(3))
+        per_tok = (hi - lo) / 32
+        key = f"moe_toks_per_s_{int(e*100)}"
+        detail[key] = round(1 / per_tok, 1)
+        detail[f"moe_toks_per_s_32L_equiv_{int(e*100)}"] = round(
+            L / (32 * per_tok), 1)
+        if e == 0.25:
+            value = round(1 / per_tok, 1)
+    print(json.dumps({
+        "metric": f"Mixtral-dims MoE decode tok/s at effort=25% ({L}L, "
+                  "int8, 1 chip)",
+        "value": value, "unit": "tok/s", "detail": detail,
+    }))
+
+
 def main():
     if "--phase" in sys.argv:
         name = sys.argv[sys.argv.index("--phase") + 1]
-        if name == "model":
-            phase_model()
-        elif name == "matvec":
-            phase_matvec()
-        else:
+        phases = {"model": phase_model, "matvec": phase_matvec,
+                  "int4": phase_int4, "serving": phase_serving,
+                  "moe": phase_moe}
+        if name not in phases:
             raise SystemExit(f"unknown phase {name}")
+        phases[name]()
         return
     orchestrate()
 
