@@ -253,6 +253,26 @@ def stage_eval(d: str):
               default=float)
 
 
+def stage_sample(d: str):
+    """Qualitative evidence: the same prompt continued at several
+    efforts (the reference's smoke test, main.swift:81-85, as data)."""
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.weights import load_bucketized
+
+    corpus = np.load(f"{d}/corpus.npy")
+    split = int(len(corpus) * 0.98)
+    prompt = corpus[split + 3000:split + 3160].astype(int).tolist()
+    w, cfg, _ = load_bucketized(f"{d}/ckpt_bf16")
+    eng = Engine(w, cfg, impl="auto", dynamic_effort=True, eos_id=-1)
+    out = {"prompt": bytes(prompt).decode("utf-8", errors="replace")}
+    for e in (1.0, 0.5, 0.25, 0.1):
+        r = eng.generate(prompt, n_new=160, effort=e)
+        out[str(e)] = bytes(t % 256 for t in r.token_ids).decode(
+            "utf-8", errors="replace")
+        print(f"--- effort {e} ---\n{out[str(e)]}", flush=True)
+    json.dump(out, open(f"{d}/samples.json", "w"), indent=1)
+
+
 # --------------------------------------------------------------------------
 # report
 # --------------------------------------------------------------------------
@@ -323,6 +343,19 @@ def stage_report(d: str):
         for name in ("agreement", "recall", "nll", "kl"):
             lines.append(f"- **{name}**: {name_note[name]}")
         lines.append("")
+    if os.path.exists(f"{d}/samples.json"):
+        smp = json.load(open(f"{d}/samples.json"))
+        lines.append("## Generation samples (same prompt, decreasing "
+                     "effort)")
+        lines.append("")
+        lines.append("Prompt tail: `" +
+                     smp["prompt"][-80:].replace("\n", "\\n") + "`")
+        lines.append("")
+        for e in ("1.0", "0.5", "0.25", "0.1"):
+            if e in smp:
+                lines.append(f"- **effort {e}**: "
+                             f"`{smp[e][:160]}`".replace("\n", "\\n"))
+        lines.append("")
     with open(f"{ROOT}/QUALITY_trained.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     json.dump({"train": hist, "results": res},
@@ -338,7 +371,7 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     args = ap.parse_args()
     d = args.dir
-    stages = (["corpus", "train", "convert", "eval", "report"]
+    stages = (["corpus", "train", "convert", "eval", "sample", "report"]
               if args.stage == "all" else [args.stage])
     for s in stages:
         print(f"=== stage {s} ===", flush=True)
@@ -346,6 +379,7 @@ def main():
          "train": lambda: stage_train(d, args.steps),
          "convert": lambda: stage_convert(d),
          "eval": lambda: stage_eval(d),
+         "sample": lambda: stage_sample(d),
          "report": lambda: stage_report(d)}[s]()
 
 
