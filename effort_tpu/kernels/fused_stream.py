@@ -490,7 +490,7 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
-            pl.BlockSpec(memory_space=pltpu.ANY)],
+            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((slots, tile_blocks, G, bm.vals.shape[-1]),
@@ -595,7 +595,7 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
             pl.BlockSpec(memory_space=pltpu.VMEM),     # probes2
             pl.BlockSpec(memory_space=pltpu.VMEM),     # stats_t
             pl.BlockSpec(memory_space=pltpu.VMEM),     # scales_t
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vals
+            pl.BlockSpec(memory_space=pl.ANY),      # vals
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -653,8 +653,8 @@ def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
             pl.BlockSpec(memory_space=pltpu.VMEM),     # probes2
             pl.BlockSpec(memory_space=pltpu.VMEM),     # stats_t
             pl.BlockSpec(memory_space=pltpu.VMEM),     # scales_t
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vals
-            pl.BlockSpec(memory_space=pltpu.ANY),      # pos
+            pl.BlockSpec(memory_space=pl.ANY),      # vals
+            pl.BlockSpec(memory_space=pl.ANY),      # pos
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -112,8 +112,8 @@ def gather_matvec_dma(bm: BucketedMatrix, sel: BlockSelection,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),     # u
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vals (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # pos packed (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # vals (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # pos packed (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -174,8 +174,8 @@ def stream_matvec(bm: BucketedMatrix, sel: StreamSelection,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),     # u
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vals
-            pl.BlockSpec(memory_space=pltpu.ANY),      # pos packed
+            pl.BlockSpec(memory_space=pl.ANY),      # vals
+            pl.BlockSpec(memory_space=pl.ANY),      # pos packed
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
