@@ -90,32 +90,60 @@ def _probe_backend(max_attempts: int = 5):
     return False, last
 
 
+def _emit_partial(d: dict) -> None:
+    """Phases print each sub-metric AS IT LANDS; a later watchdog/timeout
+    then loses only the unfinished tail, not the whole sweep (round-2
+    lesson: the matvec phase watchdog-failed twice and every point was
+    lost, BENCH_r02.json)."""
+    print("PARTIAL " + json.dumps(d), flush=True)
+
+
+def _collect_partials(stdout: str) -> dict:
+    merged = {}
+    for line in (stdout or "").splitlines():
+        if line.startswith("PARTIAL "):
+            try:
+                merged.update(json.loads(line[8:]))
+            except json.JSONDecodeError:
+                pass
+    return merged
+
+
 def _run_phase(name: str, timeout_s: float, retries: int = 1):
-    """Run `python bench.py --phase name`; parse last stdout JSON line."""
+    """Run `python bench.py --phase name`; parse last stdout JSON line.
+
+    Returns (result_or_None, err_tail, partials): partials holds every
+    PARTIAL sub-metric seen on stdout even when the phase died."""
     err_tail = ""
+    partials = {}
     for attempt in range(retries + 1):
         if _left() < 90:
-            return None, err_tail or "budget exhausted"
+            return None, err_tail or "budget exhausted", partials
         t = max(90, min(timeout_s, _left() - 60))
+        out = ""
         try:
             r = subprocess.run(
                 [sys.executable, os.path.join(ROOT, "bench.py"),
                  "--phase", name],
                 cwd=ROOT, capture_output=True, text=True, timeout=t)
-            for line in reversed((r.stdout or "").splitlines()):
+            out = r.stdout or ""
+            partials.update(_collect_partials(out))
+            for line in reversed(out.splitlines()):
                 line = line.strip()
                 if line.startswith("{"):
                     try:
-                        return json.loads(line), ""
+                        return json.loads(line), "", partials
                     except json.JSONDecodeError:
                         continue
             err_tail = ((r.stderr or "")[-800:] or
                         f"phase {name} rc={r.returncode}, no JSON")
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
+            out = te.stdout.decode() if isinstance(te.stdout, bytes)                 else (te.stdout or "")
+            partials.update(_collect_partials(out))
             err_tail = f"phase {name} timed out after {t:.0f}s"
         print(f"bench: phase {name} attempt {attempt + 1} failed: "
               f"{err_tail[:200]}", file=sys.stderr)
-    return None, err_tail
+    return None, err_tail, partials
 
 
 def orchestrate():
@@ -134,19 +162,41 @@ def orchestrate():
 
     # matvec first: cheap (~3 min) guaranteed fallback number, then the
     # model-level headline (~10 min; retry benefits from server warmth)
-    matvec, matvec_err = _run_phase("matvec", timeout_s=420, retries=1)
-    model, model_err = _run_phase("model", timeout_s=1500, retries=1)
+    matvec, matvec_err, matvec_part = _run_phase("matvec", timeout_s=420,
+                                                 retries=1)
+    model, model_err, model_part = _run_phase("model", timeout_s=1500,
+                                              retries=1)
 
     detail = {"backend": info}
     if model is not None:
         detail.update(model.get("detail", {}))
     else:
         detail["model_error"] = model_err
+        if model_part:
+            detail["model_partial"] = model_part
     if matvec is not None:
         detail["matvec"] = matvec.get("detail", {})
         detail["matvec"]["speedup_x"] = matvec.get("value")
     else:
         detail["matvec_error"] = matvec_err
+        if matvec_part:
+            detail["matvec_partial"] = matvec_part
+
+    # remaining published-number phases, budget permitting (previously
+    # only reachable via scripts/update_numbers.py, so the driver never
+    # recorded int4/serving/moe numbers — VERDICT r2 missing #2)
+    for extra, t_s in (("int4", 420), ("serving", 700), ("moe", 1100)):
+        if _left() < 180:
+            break
+        res, err, part = _run_phase(extra, timeout_s=t_s, retries=0)
+        if res is not None:
+            detail[extra] = dict(res.get("detail", {}),
+                                 value=res.get("value"),
+                                 metric=res.get("metric"))
+        elif part:
+            detail[extra] = {"partial": part, "error": err[:200]}
+        else:
+            detail[f"{extra}_error"] = err[:200]
 
     if model is not None:
         value = model["value"]
@@ -154,6 +204,14 @@ def orchestrate():
     elif matvec is not None:
         value = matvec["value"]
         metric = matvec["metric"] + " [model phase failed]"
+    elif model_part.get("speedup_vs_dense_25"):
+        value = model_part["speedup_vs_dense_25"]
+        metric = ("Mistral-7B-dims decode speedup at effort=25% vs dense "
+                  "(1 chip) [from partial: phase died mid-run]")
+    elif matvec_part.get("speedup_x"):
+        value = matvec_part["speedup_x"]
+        metric = ("effort matvec speedup at effort=25% vs dense bf16, "
+                  "w1 shape (1 chip) [from partial]")
     else:
         print(json.dumps({
             "metric": "Mistral-7B-dims decode speedup at effort=25% vs "
@@ -171,6 +229,50 @@ def orchestrate():
         "vs_baseline": round(value / 1.8, 3),
         "detail": detail,
     }))
+
+
+# --------------------------------------------------------------------------
+# quality-at-operating-point helpers (every speed number ships with the
+# matching quality number — the reference's charts couple ryc0.2 speed to
+# ryc0.4 agreement at the same effort; VERDICT r2 weak #3)
+# --------------------------------------------------------------------------
+
+def _preds_fn(cfg, impl, n):
+    """Teacher-forced per-position argmax predictions (the mechanism of
+    goBenchmarkSimilarity, benchmark.swift:128-156)."""
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.models.transformer import forward_token, make_kv_cache
+
+    def preds(w, toks, effort):
+        kc, vc = make_kv_cache(cfg)
+
+        def step(carry, tp):
+            kc, vc = carry
+            tok, pos = tp
+            logits, kc, vc = forward_token(w, cfg, tok, pos, kc, vc,
+                                           effort=effort, impl=impl)
+            return (kc, vc), jnp.argmax(logits).astype(jnp.int32)
+
+        (_, _), p = jax.lax.scan(step, (kc, vc),
+                                 (toks, jnp.arange(n, dtype=jnp.int32)))
+        return p
+    return jax.jit(preds)
+
+
+def _tf_agreement(cfg, w, decode_hi, n, efforts, impl="pallas"):
+    """Argmax agreement vs effort=1.0 on a full-effort-generated text,
+    teacher-forced, on the SAME model the speed was measured on."""
+    import jax
+    import jax.numpy as jnp
+    pf = _preds_fn(cfg, impl, n)
+    toks = decode_hi(w, jnp.int32(3), jnp.float32(1.0))
+    control = jax.device_get(pf(w, toks, jnp.float32(1.0)))
+    out = {}
+    for e in efforts:
+        pe = jax.device_get(pf(w, toks, jnp.float32(e)))
+        out[e] = float((pe == control).mean())
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -259,12 +361,25 @@ def phase_model():
     RATIO_L = 8
     w8, cfg8 = build("bf16", RATIO_L, keep_dense=True)
     t_dense = make_per_token(cfg8, w8, "dense")(1.0)
+    _emit_partial({"dense_ms_per_tok_8L": round(t_dense * 1e3, 3)})
     pt8 = make_per_token(cfg8, w8, "pallas")
-    ratios = {e: t_dense / pt8(e) for e in (0.25, 0.5)}
+    ratios = {}
+    for e in (0.25, 0.5):
+        ratios[e] = t_dense / pt8(e)
+        _emit_partial({f"speedup_vs_dense_{int(e*100)}":
+                       round(ratios[e], 3)})
     detail["ratio_depth_layers"] = RATIO_L
     detail["dense_ms_per_tok_8L"] = round(t_dense * 1e3, 3)
     detail["speedup_vs_dense_25"] = round(ratios[0.25], 3)
     detail["speedup_vs_dense_50"] = round(ratios[0.5], 3)
+    # quality AT the speed operating points (agreement vs effort=1.0,
+    # teacher-forced over the N_HI-token full-effort continuation)
+    agr = _tf_agreement(cfg8, w8, decode_fn(cfg8, "pallas", N_HI), N_HI,
+                        (0.25, 0.5))
+    detail["agreement_25"] = round(agr[0.25], 3)
+    detail["agreement_50"] = round(agr[0.5], 3)
+    _emit_partial({"agreement_25": detail["agreement_25"],
+                   "agreement_50": detail["agreement_50"]})
     del w8, pt8
 
     # --- part 2: full-depth 32L int8 absolute tok/s (11/16 load: a full
@@ -278,6 +393,16 @@ def phase_model():
                     (0.5, "model_toks_per_s_50"),
                     (1.0, "model_toks_per_s_100")):
         detail[name] = round(1.0 / pt32(e), 1)
+        _emit_partial({name: detail[name]})
+    # quality at the truncated-load operating point (11/16 weights):
+    # agreement vs THIS configuration's own effort=1.0 decode — the
+    # speed numbers above never ship without it (VERDICT r2 weak #3)
+    agr32 = _tf_agreement(cfg32, w32, decode_fn(cfg32, "pallas", N_HI),
+                          N_HI, (0.25, 0.5))
+    detail["full_depth_agreement_25"] = round(agr32[0.25], 3)
+    detail["full_depth_agreement_50"] = round(agr32[0.5], 3)
+    _emit_partial({"full_depth_agreement_25": detail["full_depth_agreement_25"],
+                   "full_depth_agreement_50": detail["full_depth_agreement_50"]})
     detail["full_depth_layers"] = FULL_L
     detail["full_depth_dtype"] = "int8"
     detail["full_depth_percent_load"] = round(11 / 16, 4)
@@ -353,6 +478,7 @@ def phase_matvec():
     t_dense = chain_time(mk_dense, 8, N_HI,
                          [(acts(100 + i), bm1.dense[0]) for i in range(12)],
                          reps=REPS)
+    _emit_partial({"t_dense_us": round(t_dense * 1e6, 1)})
 
     def mk_mxu(n):
         @jax.jit
@@ -363,6 +489,8 @@ def phase_matvec():
         return run
     t_mxu = chain_time(mk_mxu, 8, N_HI,
                        [(acts(300 + i), bm1) for i in range(12)], reps=REPS)
+    _emit_partial({"t_mxu_us": round(t_mxu * 1e6, 1),
+                   "speedup_x": round(t_dense / t_mxu, 3)})
 
     def mk_rank(n):
         @jax.jit
@@ -374,6 +502,7 @@ def phase_matvec():
         return run
     t_rank = chain_time(mk_rank, 8, N_HI,
                         [(acts(500 + i), bm4) for i in range(12)], reps=REPS)
+    _emit_partial({"rank_prefix_us": round(t_rank * 1e6, 1)})
 
     # quality at the SAME operating point, MEAN over 16 activation draws
     def cos_vs_dense(y, v):

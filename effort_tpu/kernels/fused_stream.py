@@ -30,6 +30,7 @@ otherwise.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -41,6 +42,38 @@ from effort_tpu.ops.layouts import BucketedMatrix, strided_sample
 
 _NL = 32          # thresholds per cutoff-search level (matches compute_cutoff)
 _RATIO = 0.62
+# Default streamed-prefix over-read factor (see ops.bucketmul.DEFAULT_ALPHA)
+_ALPHA = float(os.environ.get("EFFORT_TPU_ALPHA", "1.3"))
+# Selected-mass coverage target for the streamed prefix (see _prefix_len).
+_TAU = float(os.environ.get("EFFORT_TPU_TAU", "0.9985"))
+
+
+def _prefix_len(mass, tau):
+    """Shortest chunk-prefix length covering tau of the selected mass.
+
+    mass: [nc, ...] per-chunk selected score mass (stat*|v| summed over
+    the chunk's rows, zero where unselected), in the stored (calibrated
+    importance) chunk order. Returns [...] int32 chunk counts.
+
+    This replaces round 2's alpha heuristic rows=ceil(count*alpha): that
+    bound silently DROPPED selected rows whenever the selection was not
+    prefix-concentrated — on trained checkpoints (flat-ish activation
+    profiles) it dropped most of them below ~50% effort, producing the
+    round-2 model-level quality cliff (agreement 0.05 @25% vs the
+    reference's ~0.80, docs/ryc/ryc0.4.png). The coverage bound makes
+    quality data-independent: tau=1.0 streams through the LAST selected
+    chunk (exact bucketMul semantics, matching the reference's
+    compacted dispatch, bucketMul.metal:47-79); tau<1 may stop earlier
+    AND may stop far before count*alpha when the leading chunks carry
+    the mass. Speed now honestly tracks how concentrated the calibrated
+    ordering is instead of assuming it.
+    """
+    nc = mass.shape[0]
+    cum = jnp.cumsum(mass, axis=0)                  # [nc, ...]
+    tot = jnp.max(cum, axis=0, keepdims=True)       # [1, ...]
+    # cum is nondecreasing: #(cum < tau*tot) = first chunk reaching
+    # tau*tot; +1 = number of chunks to stream. Zero selection -> 1.
+    return jnp.sum((cum < tau * tot).astype(jnp.int32), axis=0) + 1
 
 def _thresh_tables(lane):
     """Per-lane threshold coefficient tables, built from an iota (pallas
@@ -90,7 +123,7 @@ def _vec_cutoff(scores, kq, m):
 
 
 def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
-            effort, alpha, has_scales,
+            effort, tau, has_scales,
             e_ref,
             v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
             vals_hbm, pos_hbm,
@@ -119,14 +152,15 @@ def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
             u_k = u_k * scales_ref[k]
         uscr[k] = u_k
 
-    # ---- prefix lengths (tiles) + cumulative offsets (scalar core) ------
+    # ---- prefix lengths (tiles) + cumulative offsets: per-rank
+    # selected-mass coverage bound (_prefix_len) ------------------------
     e = e_ref[0]
     cums = [jnp.int32(0)]
     bases = []
     for k in range(K):
-        cnt = jnp.sum((n > k).astype(jnp.int32)).astype(jnp.float32)
-        rows = jnp.minimum(jnp.ceil(cnt * alpha), float(in_dim))
-        lens = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+        m_k = jnp.where(n > k, stats_ref[k] * absv, 0.0)      # [nc, G]
+        C_k = _prefix_len(jnp.sum(m_k, axis=1, keepdims=True), tau)[0]
+        lens = (C_k + TGB - 1) // TGB
         cums.append(cums[-1] + lens)
         bases.append((e * K + k) * nc)
     total = cums[K]
@@ -208,13 +242,13 @@ def _kernel(S, B, K, TGB, nc, G, pos_bits, vpacked, OB, in_dim, P,
 
 @functools.lru_cache(maxsize=None)
 def _make_kernel(S, B, K, TGB, nc, G, bits, vpacked, OB, in_dim, P,
-                 effort, alpha, has_scales):
+                 effort, tau, has_scales):
     return functools.partial(_kernel, S, B, K, TGB, nc, G, bits, vpacked,
-                             OB, in_dim, P, effort, alpha, has_scales)
+                             OB, in_dim, P, effort, tau, has_scales)
 
 
 def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
-                alpha, has_scales,
+                tau, has_scales,
                 e_ref, eq_ref,
                 v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
                 vals_hbm,
@@ -246,9 +280,10 @@ def _kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
     uscr[...] = jnp.broadcast_to(u.astype(jnp.bfloat16)[:, None, :],
                                  uscr.shape)
 
-    cnt = jnp.sum(sel.astype(jnp.int32)).astype(jnp.float32)
-    rows = jnp.minimum(jnp.ceil(cnt * alpha), float(in_dim))
-    total = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+    # coverage-bound stream length (see _prefix_len)
+    m = jnp.where(sel, stats_ref[0] * jnp.abs(v_ref[...]), 0.0)
+    C = _prefix_len(jnp.sum(m, axis=1, keepdims=True), tau)[0]
+    total = (C + TGB - 1) // TGB
     e = e_ref[0]
     base = e * nc
 
@@ -328,13 +363,13 @@ def _col_block(obp: int, g: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _make_kernel_mxu(S, TGB, nc, G, vpacked, OB, in_dim, P,
-                     alpha, has_scales):
+                     tau, has_scales):
     return functools.partial(_kernel_mxu, S, TGB, nc, G, vpacked, OB,
-                             in_dim, P, alpha, has_scales)
+                             in_dim, P, tau, has_scales)
 
 
 def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
-                      alpha, has_scales,
+                      tau, has_scales,
                       e_ref,
                       v_ref, vs_ref, probes_ref, stats_ref, scales_ref,
                       eff_ref, vals_hbm,
@@ -377,11 +412,10 @@ def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
         u = u * scales_ref[...]
     uscr[...] = u.astype(jnp.bfloat16)
 
-    # streamed prefix = max over slots
-    cnt = jnp.sum(sel.astype(jnp.float32), axis=(0, 2), keepdims=True)
-    cnt_max = jnp.max(cnt)                                  # scalar
-    rows = jnp.minimum(jnp.ceil(cnt_max * alpha), float(in_dim))
-    total = jnp.ceil(rows / tile_rows).astype(jnp.int32)
+    # streamed prefix = max over slots of the coverage bound
+    m = jnp.where(sel, stats_ref[...] * jnp.abs(v_ref[...]), 0.0)
+    C = jnp.max(_prefix_len(jnp.sum(m, axis=2), tau))       # [T] -> scalar
+    total = (C + TGB - 1) // TGB
     e = e_ref[0]
     base = e * nc
 
@@ -444,14 +478,15 @@ def _kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
 
 @functools.lru_cache(maxsize=None)
 def _make_kernel_mxu_batch(S, T, TGB, nc, G, vpacked, OB, in_dim, P,
-                           alpha, has_scales):
+                           tau, has_scales):
     return functools.partial(_kernel_mxu_batch, S, T, TGB, nc, G, vpacked,
-                             OB, in_dim, P, alpha, has_scales)
+                             OB, in_dim, P, tau, has_scales)
 
 
 def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
-                     expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-                     slots: int = 0, interpret: bool = False) -> jax.Array:
+                     expert=0, alpha: float = None, tile_blocks: int = 1,
+                     slots: int = 0, interpret: bool = False,
+                     tau: float = None) -> jax.Array:
     """Batched one-launch row-prefix effort matmul.
 
     V: [T, in] activations (T decode slots, padded to a multiple of 8);
@@ -459,7 +494,11 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
     Returns [T, out] f32. The serving batcher's decode step uses this for
     effort-at-speed continuous batching — a case the reference never
     faced (SURVEY §7 "Batch > 1").
+
+    alpha is accepted for caller compatibility but IGNORED: the stream
+    length is the tau selected-mass coverage bound (_prefix_len).
     """
+    tau = _TAU if tau is None else tau
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -485,7 +524,7 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
 
     kernel = _make_kernel_mxu_batch(slots, T, tile_blocks, nc, G,
                                     bm.vals_packed, OB, bm.in_dim, P,
-                                    float(alpha), has_scales)
+                                    float(tau), has_scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -554,15 +593,21 @@ def _vmem_limit(bm: BucketedMatrix, tile_blocks: int, slots: int) -> int:
 
 
 def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
-               expert=0, alpha: float = 1.3, tile_blocks: int = 1,
-               slots: int = 0, interpret: bool = False) -> jax.Array:
+               expert=0, alpha: float = None, tile_blocks: int = 1,
+               slots: int = 0, interpret: bool = False,
+               tau: float = None) -> jax.Array:
     """One-launch row-prefix effort matvec (bucket_size=1 layout).
 
     effort may be a python float OR a traced scalar — it rides into the
     kernel as a 16.16 fixed-point SMEM scalar, so moving the effort knob
     never recompiles. slots=0 sizes the DMA ring from the VMEM budget.
     interpret=True runs the kernel under the pallas TPU interpreter
-    (CPU CI parity tests for the production path)."""
+    (CPU CI parity tests for the production path).
+
+    alpha is accepted for caller compatibility but IGNORED (see
+    _prefix_len); tau sets the selected-mass coverage (tau=1.0 streams
+    through the last selected chunk — exact bucketMul semantics)."""
+    tau = _TAU if tau is None else tau
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -585,7 +630,7 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
         .astype(jnp.int32).reshape(1)
     kernel = _make_kernel_mxu(slots, tile_blocks, nc, G, bm.vals_packed,
                               OB, bm.in_dim, P,
-                              float(alpha), has_scales)
+                              float(tau), has_scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -618,12 +663,18 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
 
 
 def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
-                 expert=0, alpha: float = 1.3, tile_blocks: int = 8,
-                 slots: int = 3, interpret: bool = False) -> jax.Array:
-    """One-launch effort matvec (selection + streaming fused)."""
+                 expert=0, alpha: float = None, tile_blocks: int = 8,
+                 slots: int = 3, interpret: bool = False,
+                 tau: float = None) -> jax.Array:
+    """One-launch effort matvec (selection + streaming fused).
+
+    alpha is accepted for caller compatibility but IGNORED (see
+    _prefix_len); tau sets the selected-mass coverage bound."""
+    tau = _TAU if tau is None else tau
     if bm.bucket_size == 1:
-        return mxu_matvec(bm, v, effort, expert, alpha=alpha,
-                          tile_blocks=1, slots=slots, interpret=interpret)
+        return mxu_matvec(bm, v, effort, expert,
+                          tile_blocks=1, slots=slots, interpret=interpret,
+                          tau=tau)
     B, K, G, OB = (bm.bucket_size, bm.n_ranks, bm.chunk_rows, bm.n_buckets)
     nc = bm.n_chunks
     assert nc % tile_blocks == 0, (nc, tile_blocks)
@@ -643,7 +694,7 @@ def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
 
     kernel = _make_kernel(slots, B, K, tile_blocks, nc, G, bm.pos_bits,
                           bm.vals_packed, OB, bm.in_dim, P,
-                          float(effort), float(alpha), has_scales)
+                          float(effort), float(tau), has_scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),

@@ -45,9 +45,17 @@ class StreamSelection(NamedTuple):
 
 
 def select_stream(bm: BucketedMatrix, v: jax.Array, effort, expert,
-                  alpha: float = 1.3, tile_blocks: int = 8,
-                  exact_cutoff: bool = False) -> StreamSelection:
-    """Compute per-rank prefix lengths (in tiles of tile_blocks chunks)."""
+                  alpha: float = None, tile_blocks: int = 8,
+                  exact_cutoff: bool = False,
+                  tau: float = None) -> StreamSelection:
+    """Compute per-rank prefix lengths (in tiles of tile_blocks chunks).
+
+    Prefix lengths use the tau selected-mass coverage bound (see
+    kernels.fused_stream._prefix_len — the same redesign that fixed the
+    round-2 trained-checkpoint quality cliff); alpha is accepted for
+    caller compatibility but ignored."""
+    from effort_tpu.kernels.fused_stream import _TAU
+    tau = _TAU if tau is None else tau
     K, G, nc = bm.n_ranks, bm.chunk_rows, bm.n_chunks
     expert = jnp.asarray(expert, jnp.int32)
     v = bm.permute_v(v, expert)
@@ -63,10 +71,15 @@ def select_stream(bm: BucketedMatrix, v: jax.Array, effort, expert,
         u = u * bm.scales[expert].T
     u_scaled = u.reshape(K, nc, G).astype(jnp.float32)
 
-    counts = jnp.sum(n[None, :] > ranks[:, None], axis=1)   # [K] rows
-    rows = jnp.minimum(jnp.ceil(counts * alpha), bm.in_dim)
-    tile_rows = tile_blocks * G
-    lens = jnp.ceil(rows / tile_rows).astype(jnp.int32)     # [K] tiles
+    # per-rank coverage bound: shortest chunk prefix with tau of the
+    # rank's selected score mass
+    sel_mass = jnp.where(ranks[:, None] < n[None, :],
+                         bm.stats[expert].T * jnp.abs(v)[None, :],
+                         0.0).reshape(K, nc, G)              # [K, nc, G]
+    cum_mass = jnp.cumsum(jnp.sum(sel_mass, axis=2), axis=1)  # [K, nc]
+    tot = jnp.max(cum_mass, axis=1, keepdims=True)
+    C = jnp.sum((cum_mass < tau * tot).astype(jnp.int32), axis=1) + 1
+    lens = (C + tile_blocks - 1) // tile_blocks             # [K] tiles
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(lens).astype(jnp.int32)])
     base = (expert * K + ranks) * nc

@@ -14,6 +14,7 @@ optional packed-expert index.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -22,6 +23,12 @@ import jax.numpy as jnp
 from effort_tpu.ops.layouts import BucketedMatrix
 from effort_tpu.ops.effort import (compute_cutoff, row_rank_counts,
                                    select_blocks)
+
+# Streamed-prefix over-read factor (rows = ceil(selected_count * alpha)).
+# Overridable for diagnosis sweeps (scripts/diag_cliff.py); the coverage
+# bound in the kernels makes quality insensitive to it on calibrated
+# checkpoints.
+DEFAULT_ALPHA = float(os.environ.get("EFFORT_TPU_ALPHA", "1.4"))
 
 
 def dense_matvec(v: jax.Array, wt: jax.Array) -> jax.Array:
@@ -131,7 +138,7 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort,
             # in-kernel selection (one launch); v3 split path as fallback
             from effort_tpu.kernels.fused_stream import (fused_matvec,
                                                          supports_fused)
-            alpha = alpha if alpha is not None else 1.4
+            alpha = alpha if alpha is not None else DEFAULT_ALPHA
             tgb = _tile_blocks(bm)
             if impl == "pallas" and supports_fused(bm):
                 eff = effort if bm.bucket_size == 1 else float(effort)

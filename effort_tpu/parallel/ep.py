@@ -193,12 +193,17 @@ def expert_capacity(n_tokens_local: int, n_ep: int, k: int, n_experts: int,
 
 def ep_ffn_tokens(layer: LayerWeights, l, X, effort, cfg_local: ModelConfig,
                   n_ep: int, impl: str, ep_axis: str = "ep",
-                  capacity_factor: float = 1.25):
+                  capacity_factor: float = 1.25,
+                  return_stats: bool = False):
     """Batched EP FFN with all-to-all token routing (inside shard_map).
 
     X: [T_local, dim] — this chip's slice of the token batch. Tokens over
     capacity for an expert are dropped (their gate contribution is zero),
     the standard capacity-bounded MoE contract.
+
+    return_stats=True additionally returns this chip's dropped-assignment
+    count as a [1] int32 (out of T_local * n_experts_per_tok assignments)
+    — capacity-overflow accounting for serving metrics and tests.
     """
     Tl, dim = X.shape
     E_loc = cfg_local.n_experts
@@ -255,4 +260,8 @@ def ep_ffn_tokens(layer: LayerWeights, l, X, effort, cfg_local: ModelConfig,
 
     contrib = y_home[ids, pos_c] * (gates.reshape(-1) *
                                     valid.astype(jnp.float32))[:, None]
-    return jnp.sum(contrib.reshape(Tl, k, dim), axis=1)         # [Tl, dim]
+    y = jnp.sum(contrib.reshape(Tl, k, dim), axis=1)            # [Tl, dim]
+    if return_stats:
+        dropped = jnp.sum((~valid).astype(jnp.int32)).reshape(1)
+        return y, dropped
+    return y

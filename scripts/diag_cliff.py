@@ -1,0 +1,208 @@
+"""Diagnose the model-level quality cliff below 50% effort (VERDICT r2 #1).
+
+Round 2 measured, on the trained byte-LM checkpoint, argmax agreement
+1.0->0.99 down to effort 0.5 and then a cliff (0.35 @0.4, 0.05 @0.25)
+while the reference retains ~80% @25% (docs/ryc/ryc0.4.png). Candidate
+causes and the stage that isolates each:
+
+  bisect   -> run the SAME agreement sweep with impl="jnp" (exact
+              bucketMul semantics, reads all weights) vs impl="pallas"
+              (production kernel with the alpha-bounded streamed row
+              prefix, kernels/fused_stream.py). jnp clean + pallas
+              cliffing == the kernel's prefix truncation is the bug.
+  coverage -> measure, on real activations, how much of the SELECTED
+              (stat_i*|v_i| > cutoff) row mass falls inside the streamed
+              prefix ceil(count*alpha) for every projection/effort; also
+              the prefix length that would cover 99% of selected mass.
+  alpha    -> agreement at effort .4/.25 for alpha in {1.4, 2, 4, 1e6}
+              (1e6 == stream everything == exact semantics at kernel
+              launch cost) via the EFFORT_TPU_ALPHA env override.
+
+Artifacts: runs/diag/{bisect,coverage,alpha}.json.
+Usage: python scripts/diag_cliff.py --stage bisect|coverage|alpha|report
+       [--ckpt runs/trained_quality/ckpt_bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+EFFORTS = [1.0, 0.6, 0.5, 0.45, 0.4, 0.35, 0.3, 0.25, 0.2]
+
+
+def _engine(ckpt, impl):
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.weights import load_bucketized
+    w, cfg, _ = load_bucketized(ckpt)
+    return Engine(w, cfg, impl=impl, dynamic_effort=True, eos_id=-1), w, cfg
+
+
+def _holdout(n0, n1):
+    corpus = np.load(f"{ROOT}/runs/trained_quality/corpus.npy")
+    split = int(len(corpus) * 0.98)
+    return corpus[split + n0:split + n1].astype(int).tolist()
+
+
+def stage_bisect(d, ckpt):
+    from effort_tpu.eval import harness
+    out = {}
+    for impl in ("pallas", "jnp"):
+        eng, _, _ = _engine(ckpt, impl)
+        t0 = time.time()
+        out[impl] = harness.agreement_sweep(eng, _holdout(0, 96),
+                                            n_tokens=96, efforts=EFFORTS)
+        print(f"[{impl}] {time.time()-t0:.0f}s: " + "  ".join(
+            f"{e:.2f}:{v:.3f}" for e, v in out[impl].items()), flush=True)
+    json.dump(out, open(f"{d}/bisect.json", "w"), indent=1, default=float)
+
+
+def stage_coverage(d, ckpt, alpha=1.4):
+    """Selected-mass coverage of the streamed prefix, on real activations."""
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.models.transformer import (forward_token, make_kv_cache,
+                                               rms_norm)
+    from effort_tpu.ops.effort import compute_cutoff
+    from effort_tpu.ops.layouts import strided_sample
+    from effort_tpu.models.weights import load_bucketized
+
+    w, cfg, _ = load_bucketized(ckpt)
+    toks = jnp.asarray(_holdout(0, 96), jnp.int32)
+
+    @jax.jit
+    def collect(w, toks):
+        kc, vc = make_kv_cache(cfg)
+
+        def one(carry, tp):
+            kc, vc = carry
+            tok, pos = tp
+            _, kc, vc, h_layers = forward_token(
+                w, cfg, tok, pos, kc, vc, effort=1.0, impl="jnp",
+                collect_h=True)
+            return (kc, vc), h_layers
+
+        T = toks.shape[0]
+        (_, _), H = jax.lax.scan(one, (kc, vc),
+                                 (toks, jnp.arange(T, dtype=jnp.int32)))
+        return H  # [T, L, dim] residual AFTER each layer
+
+    H = np.asarray(collect(w, toks))            # [T, L, dim]
+    layers = [0, cfg.n_layers // 2, cfg.n_layers - 1]
+    tok_ids = list(range(len(H) - 8, len(H)))
+
+    def cover_one(bm, v, e, inst):
+        # layers are packed on the expert axis (expert = layer instance)
+        vp = np.asarray(bm.permute_v(jnp.asarray(v), inst))
+        cutoff = float(compute_cutoff(
+            strided_sample(jnp.asarray(vp), bm.in_dim, bm.probes.shape[1]),
+            bm.probes[inst], e))
+        stat = np.asarray(bm.stats[inst][:, 0])
+        score = stat * np.abs(vp)
+        sel = score > cutoff
+        cnt = int(sel.sum())
+        prefix = min(int(np.ceil(cnt * alpha)), bm.in_dim)
+        mass = np.where(sel, score, 0.0)
+        tot = mass.sum() + 1e-30
+        cum = np.cumsum(mass)
+        r99 = int(np.searchsorted(cum, 0.99 * tot) + 1)
+        return {"cnt": cnt, "prefix": prefix,
+                "row_cov": float(sel[:prefix].sum() / max(cnt, 1)),
+                "mass_cov": float(cum[prefix - 1] / tot) if prefix else 0.0,
+                "rows_for_99pct_mass": r99,
+                "frac_in": cnt / bm.in_dim}
+
+    out = {}
+    for l in layers:
+        for name in ("wq", "wk", "wv", "w1", "w3", "w2"):
+            bm = getattr(w.layers, name, None)
+            if bm is None:
+                continue
+            rows = {}
+            for e in (0.5, 0.4, 0.3, 0.25):
+                accs = []
+                for t in tok_ids:
+                    h_in = H[t][l - 1] if l > 0 else np.asarray(
+                        w.tok_embeddings[int(toks[t])], np.float32)
+                    nw = (w.layers.attn_norm[l] if name in ("wq", "wk", "wv")
+                          else w.layers.ffn_norm[l])
+                    hn = np.asarray(rms_norm(jnp.asarray(h_in, jnp.float32),
+                                             nw, cfg.norm_eps))
+                    if name == "w2":
+                        # w2's input: silu(w1 x) * w3 x at full effort
+                        import jax.nn
+                        from effort_tpu.ops.bucketmul import bucket_matvec
+                        x1 = bucket_matvec(w.layers.w1, jnp.asarray(hn), 1.0,
+                                           expert=l, impl="jnp")
+                        x3 = bucket_matvec(w.layers.w3, jnp.asarray(hn), 1.0,
+                                           expert=l, impl="jnp")
+                        hn = np.asarray(jax.nn.silu(x1) * x3)
+                    accs.append(cover_one(bm, hn, e, l))
+                rows[e] = {k: float(np.mean([a[k] for a in accs]))
+                           for k in accs[0]}
+            out[f"L{l}.{name}"] = rows
+            print(f"L{l}.{name}: " + "  ".join(
+                f"{e}: mass_cov={r['mass_cov']:.3f} "
+                f"r99={r['rows_for_99pct_mass']}/{bm.in_dim}"
+                for e, r in rows.items()), flush=True)
+    json.dump(out, open(f"{d}/coverage.json", "w"), indent=1, default=float)
+
+
+def stage_alpha(d, ckpt):
+    """Model-level agreement vs alpha (env override; subprocess per value
+    because the kernels cache alpha at import/trace time)."""
+    import subprocess
+    out = {}
+    for a in (1.4, 2.0, 4.0, 1e6):
+        code = f"""
+import sys, json
+sys.path.insert(0, {ROOT!r})
+from effort_tpu.eval import harness
+from scripts.diag_cliff import _engine, _holdout
+eng, _, _ = _engine({ckpt!r}, "pallas")
+r = harness.agreement_sweep(eng, _holdout(0, 96), n_tokens=96,
+                            efforts=[0.5, 0.4, 0.25])
+print("RESULT" + json.dumps(r, default=float))
+"""
+        env = dict(os.environ, EFFORT_TPU_ALPHA=str(a))
+        t0 = time.time()
+        p = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=1200)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("RESULT")]
+        if not line:
+            print(f"alpha={a}: FAILED\n{p.stdout[-500:]}\n{p.stderr[-800:]}")
+            continue
+        out[str(a)] = json.loads(line[0][6:])
+        print(f"alpha={a} ({time.time()-t0:.0f}s): " + "  ".join(
+            f"{e}:{v:.3f}" for e, v in out[str(a)].items()), flush=True)
+    json.dump(out, open(f"{d}/alpha.json", "w"), indent=1, default=float)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="bisect")
+    ap.add_argument("--ckpt",
+                    default=f"{ROOT}/runs/trained_quality/ckpt_bf16")
+    ap.add_argument("--dir", default=f"{ROOT}/runs/diag")
+    args = ap.parse_args()
+    os.makedirs(args.dir, exist_ok=True)
+    stages = (["bisect", "coverage", "alpha"] if args.stage == "all"
+              else [args.stage])
+    for s in stages:
+        print(f"=== {s} ===", flush=True)
+        {"bisect": lambda: stage_bisect(args.dir, args.ckpt),
+         "coverage": lambda: stage_coverage(args.dir, args.ckpt),
+         "alpha": lambda: stage_alpha(args.dir, args.ckpt)}[s]()
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,69 @@ def test_ep_all_to_all_capacity_drop(setup):
     out = jax.jit(fn)(w_ep, X)
     assert bool(jnp.isfinite(out).all())
     assert _cos(ref, out) > 0.8
+
+
+def test_ep_imbalance_drop_accounting(setup):
+    """Realistic failure mode for a2a routing: heavy expert imbalance.
+
+    Zeroed gate weights make every token pick experts [0, 1] (top_k tie
+    order), the maximal hot-expert skew. With capacity_factor=1.0 each
+    (chip, expert) buffer holds C = ceil(Tl*k/E) slots, so exactly
+    Tl - C assignments per hot expert per chip overflow. Asserts the
+    EXACT dropped count and the EXACT capacity-bounded output (kept
+    assignments in token order; dropped ones contribute zero)."""
+    import dataclasses
+    cfg, cfg_local, n_ep, mesh, w_ep, w_single = setup
+    zero_gate = jnp.zeros_like(w_ep.layers.ffn_gate)
+    w_ep2 = dataclasses.replace(
+        w_ep, layers=dataclasses.replace(w_ep.layers, ffn_gate=zero_gate))
+    w_s2 = dataclasses.replace(
+        w_single, layers=dataclasses.replace(
+            w_single.layers,
+            ffn_gate=jnp.zeros_like(w_single.layers.ffn_gate)))
+
+    T, k = 16, cfg.n_experts_per_tok
+    Tl = T // n_ep
+    E = cfg.n_experts
+    C = -(-Tl * k // E)                    # capacity_factor = 1.0
+    X = jax.random.normal(jax.random.key(3), (T, cfg.dim)) * 0.05
+    l = jnp.asarray(0, jnp.int32)
+
+    def ffn_tokens(w_local, xs):
+        return ep_ffn_tokens(w_local.layers, l, xs, 1.0, cfg_local,
+                             n_ep, "jnp", capacity_factor=1.0,
+                             return_stats=True)
+
+    fn = shard_map(ffn_tokens, mesh=mesh,
+                   in_specs=(ep_specs(w_ep2), P("ep")),
+                   out_specs=(P("ep"), P("ep")))
+    out, dropped = jax.jit(fn)(w_ep2, X)
+
+    # every token routes to experts 0 and 1: per chip each hot expert
+    # gets Tl assignments into C slots -> (Tl - C) drops, 2 hot experts
+    expected_drop = n_ep * 2 * (Tl - C)
+    assert int(dropped.sum()) == expected_drop, (
+        int(dropped.sum()), expected_drop)
+
+    # exact reference: first C tokens (local order) keep each hot-expert
+    # assignment, later ones lose it; gates are softmax([0,0]) = 0.5
+    from effort_tpu.ops.bucketmul import bucket_matvec
+
+    def expert_eval(e, x):
+        inst = int(l) * E + e
+        x1 = bucket_matvec(w_s2.layers.w1, x, 1.0, expert=inst, impl="jnp")
+        x3 = bucket_matvec(w_s2.layers.w3, x, 1.0, expert=inst, impl="jnp")
+        return bucket_matvec(w_s2.layers.w2, jax.nn.silu(x1) * x3, 1.0,
+                             expert=inst, impl="jnp")
+
+    ref_rows = []
+    for t in range(T):
+        tl = t % Tl                        # local token index on its chip
+        if tl < C:
+            ref_rows.append(0.5 * (expert_eval(0, X[t])
+                                   + expert_eval(1, X[t])))
+        else:
+            ref_rows.append(jnp.zeros((cfg.dim,), jnp.float32))
+    ref = jnp.stack(ref_rows)
+    cs = _cos(ref, out)
+    assert cs > 0.9999, cs
