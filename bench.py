@@ -755,12 +755,132 @@ def phase_moe():
     }))
 
 
+def phase_longctx():
+    """Long-context evidence (the reference's declared bottleneck:
+    untiled O(T) attention + maxSeqLen=2048, runNetwork.swift:166-168,
+    docs/pesky.html "Attention and longer contexts"):
+      (a) Pallas blockwise flash attention vs XLA einsum attention,
+          Mistral head geometry, prefill (T queries, S cache);
+      (b) ring (rolling-window) KV decode: per-token decode cost FLAT
+          past the window — context length no longer bounds decode.
+    """
+    _arm_watchdog(700)
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import effort_tpu  # noqa: F401
+    from effort_tpu.config import mistral_7b
+    from effort_tpu.kernels.flash_attention import flash_attention_seq
+    from effort_tpu.models.transformer import _attention_seq
+    from effort_tpu.utils.timing import chain_time
+
+    detail = {}
+
+    def measure_pair(T, S):
+        cfg = mistral_7b(max_seq_len=S)
+        H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        kc = jax.random.normal(jax.random.key(1), (S, KV, D), jnp.bfloat16)
+        vc = jax.random.normal(jax.random.key(2), (S, KV, D), jnp.bfloat16)
+        slots = jnp.arange(T)
+        flash = lambda q, k, v: flash_attention_seq(q, k, v, 0, 0, H, D)  # noqa: E731
+        xla = lambda q, k, v: _attention_seq(q, k, v, slots, 0, cfg)  # noqa: E731
+
+        q0 = jax.random.normal(jax.random.key(3), (T, H * D), jnp.float32)
+        ref = np.asarray(jax.jit(xla)(q0, kc, vc))
+        out = np.asarray(jax.jit(flash)(q0, kc, vc))
+        rel = float(np.abs(ref - out).max() / (np.abs(ref).std() + 1e-30))
+
+        def mk(fn):
+            def make(n):
+                @jax.jit
+                def run(q, k, v):
+                    def body(i, q):
+                        return q * 0.5 + fn(q, k, v) * 0.5
+                    return jnp.sum(jax.lax.fori_loop(0, n, body, q))
+                return run
+            return make
+
+        def acts(seed):
+            return jax.random.normal(jax.random.key(seed), (T, H * D),
+                                     jnp.float32)
+        args = [(acts(10 + i), kc, vc) for i in range(8)]
+        t_x = chain_time(mk(xla), 4, 52, args, reps=3)
+        t_f = chain_time(mk(flash), 4, 52, args, reps=3)
+        return {"t_xla_ms": round(t_x * 1e3, 3),
+                "t_flash_ms": round(t_f * 1e3, 3),
+                "flash_speedup_x": round(t_x / t_f, 3),
+                "rel_err_vs_xla": round(rel, 5)}
+
+    for (T, S) in ((1024, 2048), (4096, 8192)):
+        detail[f"prefill_{T}x{S}"] = measure_pair(T, S)
+        _emit_partial({f"prefill_{T}x{S}": detail[f"prefill_{T}x{S}"]})
+
+    # (b) ring-KV decode: per-token step time at positions far past the
+    # window must match the in-window cost (O(window), not O(context))
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.models.transformer import (init_random_weights,
+                                               forward_token)
+    from effort_tpu.models.generate import _make_cache_and_hooks
+    WINDOW, L = 1024, 2
+    cfg = mistral_7b(n_layers=L, max_seq_len=WINDOW,
+                     sliding_window=WINDOW)
+    w = init_random_weights(cfg, BucketConfig(bucket_size=1,
+                                              chunk_rows=128),
+                            seed=0, calibrate=True)
+    jax.block_until_ready(w.layers.wq.vals)
+    kc0, vc0, kv_update, attn = _make_cache_and_hooks(cfg, "ring")
+
+    def run_span(w, tok0, start, n):
+        def step(carry, i):
+            tok, kc, vc = carry
+            logits, kc, vc = forward_token(
+                w, cfg, tok, start + i, kc, vc, effort=0.5, impl="pallas",
+                kv_update_fn=kv_update, attn_fn=attn)
+            return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
+        (tok, _, _), _ = jax.lax.scan(
+            step, (tok0, kc0, vc0), jnp.arange(n, dtype=jnp.int32))
+        return tok
+
+    span = jax.jit(functools.partial(run_span, n=64))
+    spans0 = jax.jit(functools.partial(run_span, n=8))
+
+    def t_at(start, seed):
+        jax.device_get(spans0(w, jnp.int32(seed), jnp.int32(start)))
+        t0 = time.perf_counter()
+        jax.device_get(span(w, jnp.int32(seed + 1), jnp.int32(start)))
+        t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(spans0(w, jnp.int32(seed + 2), jnp.int32(start)))
+        t_lo = time.perf_counter() - t0
+        return (t_hi - t_lo) / 56
+    t_at(0, 2)  # compile both shapes
+    t_in = min(t_at(256, 3 + i) for i in range(3))
+    t_out = min(t_at(WINDOW * 5, 9 + i) for i in range(3))
+    detail["ring_kv"] = {
+        "window": WINDOW, "n_layers": L,
+        "ms_per_tok_at_pos_256": round(t_in * 1e3, 3),
+        "ms_per_tok_at_pos_5120": round(t_out * 1e3, 3),
+        "flat_ratio": round(t_out / t_in, 3),
+    }
+    _emit_partial({"ring_kv": detail["ring_kv"]})
+
+    big = detail["prefill_4096x8192"]
+    print(json.dumps({
+        "metric": "flash-attention prefill speedup vs XLA attention, "
+                  "4096 queries x 8192 cache (Mistral heads, 1 chip)",
+        "value": big["flash_speedup_x"], "unit": "x",
+        "detail": detail,
+    }))
+
+
 def main():
     if "--phase" in sys.argv:
         name = sys.argv[sys.argv.index("--phase") + 1]
         phases = {"model": phase_model, "matvec": phase_matvec,
                   "int4": phase_int4, "serving": phase_serving,
-                  "moe": phase_moe}
+                  "moe": phase_moe, "longctx": phase_longctx}
         if name not in phases:
             raise SystemExit(f"unknown phase {name}")
         phases[name]()

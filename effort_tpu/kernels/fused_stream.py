@@ -46,6 +46,9 @@ _RATIO = 0.62
 _ALPHA = float(os.environ.get("EFFORT_TPU_ALPHA", "1.3"))
 # Selected-mass coverage target for the streamed prefix (see _prefix_len).
 _TAU = float(os.environ.get("EFFORT_TPU_TAU", "0.9985"))
+# Force interpret-mode pallas (CPU debugging/eval of the production
+# kernel semantics without a TPU; ~100x slower).
+_INTERPRET = os.environ.get("EFFORT_TPU_INTERPRET", "") == "1"
 
 
 def _prefix_len(mass, tau):
@@ -499,6 +502,7 @@ def mxu_matvec_batch(bm: BucketedMatrix, V: jax.Array, efforts: jax.Array,
     length is the tau selected-mass coverage bound (_prefix_len).
     """
     tau = _TAU if tau is None else tau
+    interpret = interpret or _INTERPRET
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -608,6 +612,7 @@ def mxu_matvec(bm: BucketedMatrix, v: jax.Array, effort,
     _prefix_len); tau sets the selected-mass coverage (tau=1.0 streams
     through the last selected chunk — exact bucketMul semantics)."""
     tau = _TAU if tau is None else tau
+    interpret = interpret or _INTERPRET
     assert bm.bucket_size == 1
     G, OB = bm.chunk_rows, bm.n_buckets
     nc = bm.n_chunks
@@ -671,6 +676,7 @@ def fused_matvec(bm: BucketedMatrix, v: jax.Array, effort: float,
     alpha is accepted for caller compatibility but IGNORED (see
     _prefix_len); tau sets the selected-mass coverage bound."""
     tau = _TAU if tau is None else tau
+    interpret = interpret or _INTERPRET
     if bm.bucket_size == 1:
         return mxu_matvec(bm, v, effort, expert,
                           tile_blocks=1, slots=slots, interpret=interpret,

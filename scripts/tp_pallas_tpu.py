@@ -15,7 +15,7 @@ Checks, at Mistral dims (reduced layers):
   3. dp axis present in the mesh (dp=1) alongside tp.
 
 Usage: python scripts/tp_pallas_tpu.py [n_layers]
-Writes runs/tp_pallas_tpu.json.
+Writes artifacts/tp_pallas_tpu.json (committed evidence).
 """
 
 import functools
@@ -145,7 +145,7 @@ def main():
           f"{plain:.2f} plain ({L} layers)", flush=True)
 
     os.makedirs(f"{ROOT}/runs", exist_ok=True)
-    json.dump(results, open(f"{ROOT}/runs/tp_pallas_tpu.json", "w"),
+    json.dump(results, open(f"{ROOT}/artifacts/tp_pallas_tpu.json", "w"),
               indent=1)
     print("OK — production kernels run inside shard_map on TPU")
 

@@ -369,7 +369,16 @@ def main():
     ap.add_argument("--stage", default="all")
     ap.add_argument("--dir", default=f"{ROOT}/runs/trained_quality")
     ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the convert stage is "
+                    "host-bound: pushing full-precision weights through "
+                    "the ~6.5 MB/s axon tunnel takes ~1h for nothing; "
+                    "the env var alone does not win against the axon "
+                    "plugin, only jax.config does)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     d = args.dir
     stages = (["corpus", "train", "convert", "eval", "sample", "report"]
               if args.stage == "all" else [args.stage])

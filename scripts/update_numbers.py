@@ -29,9 +29,9 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PHASES = ["matvec", "model", "int4", "serving", "moe"]
+PHASES = ["matvec", "model", "int4", "serving", "moe", "longctx"]
 TIMEOUTS = {"matvec": 600, "model": 1800, "int4": 600, "serving": 900,
-            "moe": 1500}
+            "moe": 1500, "longctx": 900}
 
 
 def run_phase(name: str):
@@ -62,6 +62,7 @@ def render_map(num: dict) -> dict:
     sv = num.get("serving", {})
     svd = sv.get("detail", {})
     mo = num.get("moe", {}).get("detail", {})
+    lc = num.get("longctx", {}).get("detail", {})
 
     r = {}
     if mv:
@@ -94,6 +95,27 @@ def render_map(num: dict) -> dict:
                          f"(32L-equivalent "
                          f"{mo['moe_toks_per_s_32L_equiv_25']:.0f} tok/s "
                          f"@25%)")
+    if md and "agreement_25" in md:
+        r["mdl.agree"] = (f"argmax agreement vs full effort "
+                          f"{md['agreement_25']:.2f} @25% / "
+                          f"{md['agreement_50']:.2f} @50% (8L); "
+                          f"truncated-load 32L config "
+                          f"{md.get('full_depth_agreement_25', float('nan')):.2f} @25%")
+    if lc:
+        big = lc.get("prefill_4096x8192", {})
+        ring = lc.get("ring_kv", {})
+        if big:
+            r["lc.line"] = (f"**{big['flash_speedup_x']:.1f}x XLA "
+                            f"attention** at 4096x8192 prefill "
+                            f"({big['t_flash_ms']:.1f} ms vs "
+                            f"{big['t_xla_ms']:.1f} ms)")
+        if ring:
+            r["lc.ring"] = (f"flat decode past the window: "
+                            f"{ring['ms_per_tok_at_pos_5120']:.2f} ms/tok "
+                            f"at pos 5120 vs "
+                            f"{ring['ms_per_tok_at_pos_256']:.2f} at 256 "
+                            f"(ratio {ring['flat_ratio']:.2f}, window "
+                            f"{ring['window']})")
     return r
 
 
