@@ -237,14 +237,21 @@ def orchestrate():
 # ryc0.4 agreement at the same effort; VERDICT r2 weak #3)
 # --------------------------------------------------------------------------
 
-def _preds_fn(cfg, impl, n):
-    """Teacher-forced per-position argmax predictions (the mechanism of
-    goBenchmarkSimilarity, benchmark.swift:128-156)."""
+def _tf_agreement(cfg, w, decode_hi, n, efforts, impl="pallas"):
+    """Quality at the speed operating point, teacher-forced over a
+    full-effort-generated continuation on the SAME model the speed was
+    measured on (goBenchmarkSimilarity mechanism,
+    benchmark.swift:128-156). Returns per effort:
+      cos   — mean per-position logits cosine vs effort=1.0 (the robust
+              metric for synthetic-weight models, whose near-tied random
+              logits make argmax flip on any perturbation);
+      agree — argmax agreement (meaningful on TRAINED checkpoints; see
+              QUALITY_trained.md for those curves)."""
     import jax
     import jax.numpy as jnp
     from effort_tpu.models.transformer import forward_token, make_kv_cache
 
-    def preds(w, toks, effort):
+    def logits_seq(w, toks, effort):
         kc, vc = make_kv_cache(cfg)
 
         def step(carry, tp):
@@ -252,26 +259,35 @@ def _preds_fn(cfg, impl, n):
             tok, pos = tp
             logits, kc, vc = forward_token(w, cfg, tok, pos, kc, vc,
                                            effort=effort, impl=impl)
-            return (kc, vc), jnp.argmax(logits).astype(jnp.int32)
+            return (kc, vc), logits
 
-        (_, _), p = jax.lax.scan(step, (kc, vc),
+        (_, _), L = jax.lax.scan(step, (kc, vc),
                                  (toks, jnp.arange(n, dtype=jnp.int32)))
-        return p
-    return jax.jit(preds)
+        return L                                         # [n, vocab] f32
 
+    @jax.jit
+    def control_fn(w, toks):
+        return logits_seq(w, toks, jnp.float32(1.0))
 
-def _tf_agreement(cfg, w, decode_hi, n, efforts, impl="pallas"):
-    """Argmax agreement vs effort=1.0 on a full-effort-generated text,
-    teacher-forced, on the SAME model the speed was measured on."""
-    import jax
-    import jax.numpy as jnp
-    pf = _preds_fn(cfg, impl, n)
+    @jax.jit
+    def compare(w, toks, ctrl, effort):
+        # logits stay ON DEVICE: [n, vocab] f32 through the ~6.5 MB/s
+        # tunnel would dominate the phase runtime
+        L = logits_seq(w, toks, effort)
+        num = jnp.sum(L * ctrl, axis=1)
+        den = (jnp.linalg.norm(L, axis=1)
+               * jnp.linalg.norm(ctrl, axis=1) + 1e-30)
+        cos = jnp.mean(num / den)
+        agree = jnp.mean((jnp.argmax(L, axis=1)
+                          == jnp.argmax(ctrl, axis=1)).astype(jnp.float32))
+        return cos, agree
+
     toks = decode_hi(w, jnp.int32(3), jnp.float32(1.0))
-    control = jax.device_get(pf(w, toks, jnp.float32(1.0)))
+    ctrl = control_fn(w, toks)
     out = {}
     for e in efforts:
-        pe = jax.device_get(pf(w, toks, jnp.float32(e)))
-        out[e] = float((pe == control).mean())
+        cos, agree = jax.device_get(compare(w, toks, ctrl, jnp.float32(e)))
+        out[e] = {"cos": float(cos), "agree": float(agree)}
     return out
 
 
@@ -376,10 +392,12 @@ def phase_model():
     # teacher-forced over the N_HI-token full-effort continuation)
     agr = _tf_agreement(cfg8, w8, decode_fn(cfg8, "pallas", N_HI), N_HI,
                         (0.25, 0.5))
-    detail["agreement_25"] = round(agr[0.25], 3)
-    detail["agreement_50"] = round(agr[0.5], 3)
-    _emit_partial({"agreement_25": detail["agreement_25"],
-                   "agreement_50": detail["agreement_50"]})
+    detail["logits_cos_25"] = round(agr[0.25]["cos"], 4)
+    detail["logits_cos_50"] = round(agr[0.5]["cos"], 4)
+    detail["agreement_25"] = round(agr[0.25]["agree"], 3)
+    detail["agreement_50"] = round(agr[0.5]["agree"], 3)
+    _emit_partial({"logits_cos_25": detail["logits_cos_25"],
+                   "logits_cos_50": detail["logits_cos_50"]})
     del w8, pt8
 
     # --- part 2: full-depth 32L int8 absolute tok/s (11/16 load: a full
@@ -399,10 +417,14 @@ def phase_model():
     # speed numbers above never ship without it (VERDICT r2 weak #3)
     agr32 = _tf_agreement(cfg32, w32, decode_fn(cfg32, "pallas", N_HI),
                           N_HI, (0.25, 0.5))
-    detail["full_depth_agreement_25"] = round(agr32[0.25], 3)
-    detail["full_depth_agreement_50"] = round(agr32[0.5], 3)
-    _emit_partial({"full_depth_agreement_25": detail["full_depth_agreement_25"],
-                   "full_depth_agreement_50": detail["full_depth_agreement_50"]})
+    detail["full_depth_logits_cos_25"] = round(agr32[0.25]["cos"], 4)
+    detail["full_depth_logits_cos_50"] = round(agr32[0.5]["cos"], 4)
+    detail["full_depth_agreement_25"] = round(agr32[0.25]["agree"], 3)
+    detail["full_depth_agreement_50"] = round(agr32[0.5]["agree"], 3)
+    _emit_partial({"full_depth_logits_cos_25":
+                   detail["full_depth_logits_cos_25"],
+                   "full_depth_logits_cos_50":
+                   detail["full_depth_logits_cos_50"]})
     detail["full_depth_layers"] = FULL_L
     detail["full_depth_dtype"] = "int8"
     detail["full_depth_percent_load"] = round(11 / 16, 4)
@@ -866,11 +888,17 @@ def phase_longctx():
     }
     _emit_partial({"ring_kv": detail["ring_kv"]})
 
-    big = detail["prefill_4096x8192"]
+    # headline = the 1024x2048 speedup: at 4096x8192 the XLA baseline
+    # materializes [H, T, S] scores (~4.3 GB) and collapses (the
+    # reference's declared long-context failure mode) — that ratio is
+    # evidence of the baseline breaking, not kernel speed; keep it in
+    # detail, lead with the fair-shape number.
     print(json.dumps({
         "metric": "flash-attention prefill speedup vs XLA attention, "
-                  "4096 queries x 8192 cache (Mistral heads, 1 chip)",
-        "value": big["flash_speedup_x"], "unit": "x",
+                  "1024 queries x 2048 cache (Mistral heads, 1 chip; "
+                  "4096x8192 in detail)",
+        "value": detail["prefill_1024x2048"]["flash_speedup_x"],
+        "unit": "x",
         "detail": detail,
     }))
 

@@ -92,6 +92,14 @@ class ModelConfig:
     # MoE (Mixtral); n_experts=1 means dense FFN (reference loader.swift:178-227)
     n_experts: int = 1
     n_experts_per_tok: int = 2
+    # Per-projection effort floors, e.g. {"wk": 0.45, "wv": 0.45}: the
+    # projection's effective effort is max(effort, floor). K/V errors
+    # persist in the cache and poison every later attention read, so
+    # flooring the (cheap: ~7% of layer FLOPs at Mistral dims) wk/wv
+    # muls buys disproportionate low-effort quality — the mitigation the
+    # reference community discusses for its own quality breakdown
+    # (docs/pesky.html). None/{} = uniform effort (reference behavior).
+    effort_floors: Optional[dict] = None
 
     @property
     def is_moe(self) -> bool:

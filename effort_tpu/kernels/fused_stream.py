@@ -72,7 +72,14 @@ def _prefix_len(mass, tau):
     ordering is instead of assuming it.
     """
     nc = mass.shape[0]
-    cum = jnp.cumsum(mass, axis=0)                  # [nc, ...]
+    # cumsum along chunks as a lower-triangular matmul: Mosaic has no
+    # cumsum lowering, and nc <= ~112 makes the [nc, nc] dot free on the
+    # MXU next to the streaming work.
+    row = jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
+    tri = (col <= row).astype(jnp.float32)
+    cum = jax.lax.dot_general(tri, mass, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     tot = jnp.max(cum, axis=0, keepdims=True)       # [1, ...]
     # cum is nondecreasing: #(cum < tau*tot) = first chunk reaching
     # tau*tot; +1 = number of chunks to stream. Zero selection -> 1.

@@ -301,22 +301,47 @@ def _psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
+def proj_efforts(effort, cfg: ModelConfig):
+    """Per-projection effective efforts under cfg.effort_floors
+    (effective = max(effort, floor); fused projections take the max
+    floor of their parts). Static python efforts stay python floats so
+    the effort>=1 dense fast path keeps working."""
+    fl = getattr(cfg, "effort_floors", None) or {}
+
+    def mk(*names):
+        f = max((fl.get(n, 0.0) for n in names), default=0.0)
+        if not f:
+            return effort
+        if isinstance(effort, (int, float)):
+            return max(float(effort), f)
+        return jnp.maximum(jnp.asarray(effort, jnp.float32),
+                           jnp.float32(f))
+
+    return {"wq": mk("wq"), "wk": mk("wk"), "wv": mk("wv"),
+            "wo": mk("wo"), "w1": mk("w1"), "w3": mk("w3"),
+            "w2": mk("w2"), "wqkv": mk("wq", "wk", "wv"),
+            "w13": mk("w1", "w3")}
+
+
 def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
          tp_axis=None):
     E = cfg.n_experts
     hid = cfg.hidden_dim
-    mv = partial(bucket_matvec, effort=effort, impl=impl)
+    pe = proj_efforts(effort, cfg)
+
+    def mv(bm, x, expert, name):
+        return bucket_matvec(bm, x, pe[name], expert=expert, impl=impl)
 
     def up(inst):
         if layer.w13 is not None:
-            x13 = mv(layer.w13, x, expert=inst)
+            x13 = mv(layer.w13, x, inst, "w13")
             return x13[:hid], x13[hid:]
-        return mv(layer.w1, x, expert=inst), mv(layer.w3, x, expert=inst)
+        return mv(layer.w1, x, inst, "w1"), mv(layer.w3, x, inst, "w3")
 
     if E == 1:
         x1, x3 = up(l)
         x2 = jax.nn.silu(x1) * x3           # silu kernel, aux.metal silu32b
-        return _psum(mv(layer.w2, x2, expert=l), tp_axis)
+        return _psum(mv(layer.w2, x2, l, "w2"), tp_axis)
     # MoE: top-2 gating (runNetwork.swift:184-201)
     gate_logits = jnp.dot(x.astype(jnp.bfloat16), layer.ffn_gate[l],
                           preferred_element_type=jnp.float32)
@@ -327,7 +352,7 @@ def _ffn(layer: LayerWeights, l, x, effort, cfg: ModelConfig, impl,
         inst = l * E + top_idx[i]
         x1, x3 = up(inst)
         x2 = jax.nn.silu(x1) * x3
-        out = out + gates[i] * mv(layer.w2, x2, expert=inst)
+        out = out + gates[i] * mv(layer.w2, x2, inst, "w2")
     return _psum(out, tp_axis)
 
 
@@ -384,7 +409,10 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
     Factored out so pipeline parallelism (parallel/pp.py) can run a
     STAGE's layer slice on its resident microbatch."""
     KV, D = cfg.n_kv_heads, cfg.head_dim
-    mv = partial(bucket_matvec, effort=effort, impl=impl)
+    pe = proj_efforts(effort, cfg)
+
+    def mv(bm, x, expert, name):
+        return bucket_matvec(bm, x, pe[name], expert=expert, impl=impl)
 
     q_out = cfg.n_heads * D
     kv_out = KV * D
@@ -394,14 +422,14 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
         layer = w.layers
         h_norm = rms_norm(h, layer.attn_norm[l], cfg.norm_eps)
         if layer.wqkv is not None:
-            qkv = mv(layer.wqkv, h_norm, expert=l)
+            qkv = mv(layer.wqkv, h_norm, l, "wqkv")
             q = qkv[:q_out]
             k = qkv[q_out:q_out + kv_out]
             v = qkv[q_out + kv_out:]
         else:
-            q = mv(layer.wq, h_norm, expert=l)
-            k = mv(layer.wk, h_norm, expert=l)
-            v = mv(layer.wv, h_norm, expert=l)
+            q = mv(layer.wq, h_norm, l, "wq")
+            k = mv(layer.wk, h_norm, l, "wk")
+            v = mv(layer.wv, h_norm, l, "wv")
         rpos = pos - rope_offset
         q = rope_rotate(q.reshape(cfg.n_heads, D), rpos, D,
                         cfg.rope_theta).reshape(-1)
@@ -423,7 +451,7 @@ def forward_layers(w: ModelWeights, cfg: ModelConfig, h, pos, k_cache,
         else:
             attn = _attention(q, k_cache[l], v_cache[l], pos, cfg,
                               mask_from)
-        h = h + _psum(mv(layer.wo, attn, expert=l), tp_axis)
+        h = h + _psum(mv(layer.wo, attn, l, "wo"), tp_axis)
         f_norm = rms_norm(h, layer.ffn_norm[l], cfg.norm_eps)
         if ffn_fn is not None:
             h = h + ffn_fn(layer, l, f_norm)
@@ -506,6 +534,7 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
     KV, D = cfg.n_kv_heads, cfg.head_dim
     offs = jnp.zeros((B,), jnp.int32) if offs is None else offs
     efforts = jnp.asarray(efforts, jnp.float32)
+    pe_b = proj_efforts(efforts, cfg)    # per-slot vectors, floored
     H = w.tok_embeddings[toks].astype(jnp.float32)          # [B, dim]
     rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
 
@@ -527,14 +556,14 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
         layer = w.layers
         Hn = rms_norm(Hc, layer.attn_norm[l], cfg.norm_eps)
         if layer.wqkv is not None:
-            QKV = _mv_batch(layer.wqkv, Hn, efforts, l, impl)
+            QKV = _mv_batch(layer.wqkv, Hn, pe_b["wqkv"], l, impl)
             Q = QKV[:, :q_out]
             K = QKV[:, q_out:q_out + kv_out]
             V = QKV[:, q_out + kv_out:]
         else:
-            Q = _mv_batch(layer.wq, Hn, efforts, l, impl)
-            K = _mv_batch(layer.wk, Hn, efforts, l, impl)
-            V = _mv_batch(layer.wv, Hn, efforts, l, impl)
+            Q = _mv_batch(layer.wq, Hn, pe_b["wq"], l, impl)
+            K = _mv_batch(layer.wk, Hn, pe_b["wk"], l, impl)
+            V = _mv_batch(layer.wv, Hn, pe_b["wv"], l, impl)
         rpos = pos - offs
         Q = rope(Q.reshape(B, cfg.n_heads, D), rpos, D,
                  cfg.rope_theta).reshape(B, -1)
@@ -560,18 +589,18 @@ def forward_token_batch(w: ModelWeights, cfg: ModelConfig, toks, pos,
             v_cache = _upd_layer(v_cache, l, vc_l)
             attn = jax.vmap(_attention, in_axes=(0, 0, 0, 0, None, 0))(
                 Q, kc_l, vc_l, pos, cfg, offs)
-        Hc = Hc + _mv_batch(layer.wo, attn, efforts, l, impl)
+        Hc = Hc + _mv_batch(layer.wo, attn, pe_b["wo"], l, impl)
         Fn = rms_norm(Hc, layer.ffn_norm[l], cfg.norm_eps)
         if cfg.n_experts == 1:
             if layer.w13 is not None:
-                X13 = _mv_batch(layer.w13, Fn, efforts, l, impl)
+                X13 = _mv_batch(layer.w13, Fn, pe_b["w13"], l, impl)
                 x1 = X13[:, :cfg.hidden_dim]
                 x3 = X13[:, cfg.hidden_dim:]
             else:
-                x1 = _mv_batch(layer.w1, Fn, efforts, l, impl)
-                x3 = _mv_batch(layer.w3, Fn, efforts, l, impl)
+                x1 = _mv_batch(layer.w1, Fn, pe_b["w1"], l, impl)
+                x3 = _mv_batch(layer.w3, Fn, pe_b["w3"], l, impl)
             x2 = jax.nn.silu(x1) * x3
-            Hc = Hc + _mv_batch(layer.w2, x2, efforts, l, impl)
+            Hc = Hc + _mv_batch(layer.w2, x2, pe_b["w2"], l, impl)
         else:
             impl_tok = "jnp" if impl in ("auto", "pallas") else impl
             Hc = Hc + jax.vmap(
@@ -617,15 +646,19 @@ def _ffn_seq(layer: LayerWeights, l, X, effort, cfg: ModelConfig, impl,
     effort selection)."""
     from effort_tpu.ops.bucketmul import bucket_matmul
     if cfg.n_experts == 1:
-        mm = partial(bucket_matmul, effort=effort, impl=impl)
+        pe = proj_efforts(effort, cfg)
+
+        def mm(bm, X, expert, name):
+            return bucket_matmul(bm, X, pe[name], expert=expert, impl=impl)
+
         if layer.w13 is not None:
-            X13 = mm(layer.w13, X, expert=l)
+            X13 = mm(layer.w13, X, l, "w13")
             x1, x3 = X13[:, :cfg.hidden_dim], X13[:, cfg.hidden_dim:]
         else:
-            x1 = mm(layer.w1, X, expert=l)
-            x3 = mm(layer.w3, X, expert=l)
+            x1 = mm(layer.w1, X, l, "w1")
+            x3 = mm(layer.w3, X, l, "w3")
         x2 = jax.nn.silu(x1) * x3
-        return _psum(mm(layer.w2, x2, expert=l), tp_axis)
+        return _psum(mm(layer.w2, x2, l, "w2"), tp_axis)
     impl_tok = "jnp" if impl in ("auto", "pallas", "stream") else impl
     return jax.vmap(
         lambda x: _ffn(layer, l, x, effort, cfg, impl_tok, tp_axis))(X)
@@ -659,7 +692,11 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
     X = w.tok_embeddings[token_ids].astype(jnp.float32)      # [T, dim]
     slots = start_slot + jnp.arange(T, dtype=jnp.int32)
     rpos = slots - rope_offset
-    mm = partial(bucket_matmul, effort=effort, impl=impl)
+    pe = proj_efforts(effort, cfg)
+
+    def mm(bm, X, expert, name):
+        return bucket_matmul(bm, X, pe[name], expert=expert, impl=impl)
+
     rope = jax.vmap(rope_rotate, in_axes=(0, 0, None, None))
 
     q_out = cfg.n_heads * D
@@ -670,14 +707,14 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
         layer = w.layers
         Xn = rms_norm(X, layer.attn_norm[l], cfg.norm_eps)
         if layer.wqkv is not None:
-            QKV = mm(layer.wqkv, Xn, expert=l)               # [T, q+2kv]
+            QKV = mm(layer.wqkv, Xn, l, "wqkv")              # [T, q+2kv]
             Q = QKV[:, :q_out]
             K = QKV[:, q_out:q_out + kv_out]
             V = QKV[:, q_out + kv_out:]
         else:
-            Q = mm(layer.wq, Xn, expert=l)                   # [T, H*D]
-            K = mm(layer.wk, Xn, expert=l)
-            V = mm(layer.wv, Xn, expert=l)
+            Q = mm(layer.wq, Xn, l, "wq")                    # [T, H*D]
+            K = mm(layer.wk, Xn, l, "wk")
+            V = mm(layer.wv, Xn, l, "wv")
         Q = rope(Q.reshape(T, cfg.n_heads, D), rpos, D,
                  cfg.rope_theta).reshape(T, -1)
         K = rope(K.reshape(T, KV, D), rpos, D, cfg.rope_theta)
@@ -696,7 +733,7 @@ def forward_seq(w: ModelWeights, cfg: ModelConfig, token_ids, k_cache,
         else:
             attn = _attention_seq(Q, k_cache[l], v_cache[l], slots,
                                   mask_from, cfg)
-        X = X + _psum(mm(layer.wo, attn, expert=l), tp_axis)
+        X = X + _psum(mm(layer.wo, attn, l, "wo"), tp_axis)
         Fn = rms_norm(X, layer.ffn_norm[l], cfg.norm_eps)
         X = X + _ffn_seq(layer, l, Fn, effort, cfg, impl, tp_axis)
         return (X, k_cache, v_cache), None

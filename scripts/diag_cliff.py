@@ -52,17 +52,22 @@ def _holdout(n0, n1):
     return corpus[split + n0:split + n1].astype(int).tolist()
 
 
-def stage_bisect(d, ckpt):
+def stage_bisect(d, ckpt, impls=("pallas", "jnp")):
     from effort_tpu.eval import harness
     out = {}
-    for impl in ("pallas", "jnp"):
+    for impl in impls:
         eng, _, _ = _engine(ckpt, impl)
         t0 = time.time()
         out[impl] = harness.agreement_sweep(eng, _holdout(0, 96),
                                             n_tokens=96, efforts=EFFORTS)
         print(f"[{impl}] {time.time()-t0:.0f}s: " + "  ".join(
             f"{e:.2f}:{v:.3f}" for e, v in out[impl].items()), flush=True)
-    json.dump(out, open(f"{d}/bisect.json", "w"), indent=1, default=float)
+    path = f"{d}/bisect.json"
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        prev.update(out)
+        out = prev
+    json.dump(out, open(path, "w"), indent=1, default=float)
 
 
 def stage_coverage(d, ckpt, alpha=1.4):
@@ -156,6 +161,52 @@ def stage_coverage(d, ckpt, alpha=1.4):
     json.dump(out, open(f"{d}/coverage.json", "w"), indent=1, default=float)
 
 
+FLOOR_CONFIGS = {
+    "none": None,
+    "kv40": {"wk": 0.4, "wv": 0.4},
+    "kv50": {"wk": 0.5, "wv": 0.5},
+    "kv50_wo35": {"wk": 0.5, "wv": 0.5, "wo": 0.35},
+    "kv50_w2_35": {"wk": 0.5, "wv": 0.5, "w2": 0.35},
+}
+
+
+def stage_floors(d, ckpt):
+    """Per-projection effort floors (the mitigation for small-model
+    low-effort quality): model-level agreement at low efforts per floor
+    config, plus the analytic extra-FLOPs fraction each floor costs."""
+    import dataclasses
+    from effort_tpu.eval import harness
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.weights import load_bucketized
+    w, cfg, _ = load_bucketized(ckpt)
+    # per-projection FLOPs share (dense-equivalent)
+    dims = {"wq": cfg.dim * cfg.n_heads * cfg.head_dim,
+            "wk": cfg.dim * cfg.n_kv_heads * cfg.head_dim,
+            "wv": cfg.dim * cfg.n_kv_heads * cfg.head_dim,
+            "wo": cfg.n_heads * cfg.head_dim * cfg.dim,
+            "w1": cfg.dim * cfg.hidden_dim,
+            "w3": cfg.dim * cfg.hidden_dim,
+            "w2": cfg.hidden_dim * cfg.dim}
+    tot = sum(dims.values())
+    out = {}
+    efforts = [0.35, 0.3, 0.25, 0.2]
+    for name, fl in FLOOR_CONFIGS.items():
+        cfg_f = dataclasses.replace(cfg, effort_floors=fl)
+        eng = Engine(w, cfg_f, impl="auto", dynamic_effort=True, eos_id=-1)
+        t0 = time.time()
+        agr = harness.agreement_sweep(eng, _holdout(0, 96), n_tokens=96,
+                                      efforts=efforts)
+        extra = {e: sum(dims[p] * (max(e, (fl or {}).get(p, 0.0)) - e)
+                        for p in dims) / (tot * e) for e in efforts}
+        out[name] = {"agreement": agr,
+                     "extra_work_frac": {e: round(x, 4)
+                                         for e, x in extra.items()}}
+        print(f"[{name}] {time.time()-t0:.0f}s: " + "  ".join(
+            f"{e}:{v:.3f}(+{out[name]['extra_work_frac'][e]:.0%})"
+            for e, v in agr.items()), flush=True)
+    json.dump(out, open(f"{d}/floors.json", "w"), indent=1, default=float)
+
+
 def stage_alpha(d, ckpt):
     """Model-level agreement vs alpha (env override; subprocess per value
     because the kernels cache alpha at import/trace time)."""
@@ -193,13 +244,24 @@ def main():
     ap.add_argument("--ckpt",
                     default=f"{ROOT}/runs/trained_quality/ckpt_bf16")
     ap.add_argument("--dir", default=f"{ROOT}/runs/diag")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU backend (with EFFORT_TPU_INTERPRET=1 the "
+                    "production kernels run under the pallas interpreter)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.dir, exist_ok=True)
     stages = (["bisect", "coverage", "alpha"] if args.stage == "all"
               else [args.stage])
+    if "bisect_jnp" in stages:
+        pass  # jnp-only: interpret-mode pallas is too slow off-TPU
     for s in stages:
         print(f"=== {s} ===", flush=True)
         {"bisect": lambda: stage_bisect(args.dir, args.ckpt),
+         "bisect_jnp": lambda: stage_bisect(args.dir, args.ckpt,
+                                            impls=("jnp",)),
+         "floors": lambda: stage_floors(args.dir, args.ckpt),
          "coverage": lambda: stage_coverage(args.dir, args.ckpt),
          "alpha": lambda: stage_alpha(args.dir, args.ckpt)}[s]()
 

@@ -1,0 +1,99 @@
+"""Pick the default coverage target tau from measured speed/quality.
+
+The coverage-bound kernel (kernels/fused_stream._prefix_len) streams the
+shortest chunk prefix holding tau of the selected score mass. tau is THE
+speed/quality knob that replaced round-2's unsound alpha heuristic; this
+script measures, on the reference workload (w1 shape 4096x14336, baked
+lognormal calibration — the bench.py matvec setup), time and cos-vs-dense
+across tau at efforts 25% and 50%, so the default is chosen from data
+instead of vibes. Writes artifacts/tau_sweep.json.
+
+Usage: python scripts/tau_sweep.py
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from effort_tpu.config import BucketConfig
+from effort_tpu.ops.bucketize import bucketize, calib_row_order
+from effort_tpu.ops.bucketmul import dense_matvec
+from effort_tpu.kernels.fused_stream import mxu_matvec
+from effort_tpu.utils.timing import chain_time, fold_bounce as bounce
+
+IN, OUT = 4096, 14336
+TAUS = [0.97, 0.98, 0.99, 0.995, 0.9985, 1.0]
+EFFORTS = [0.25, 0.5]
+
+
+def main():
+    wt = jax.random.normal(jax.random.key(0), (IN, OUT), jnp.float32) * 0.02
+    rms = jnp.exp(jax.random.normal(jax.random.key(5), (IN,)) * 1.2)
+    pi = calib_row_order(rms)
+    rms_p = rms[pi]
+    bm = bucketize(wt, BucketConfig(bucket_size=1, chunk_rows=128),
+                   in_perm=pi, keep_dense=True)
+
+    def acts(seed):
+        return rms_p * jax.random.normal(jax.random.key(seed), (IN,))
+
+    N_HI, REPS = 304, 3
+
+    def mk_dense(n):
+        @jax.jit
+        def run(v, w):
+            def body(i, v):
+                return bounce(dense_matvec(v, w), v)
+            return jax.lax.fori_loop(0, n, body, v)
+        return run
+    t_dense = chain_time(mk_dense, 8, N_HI,
+                         [(acts(100 + i), bm.dense[0]) for i in range(12)],
+                         reps=REPS)
+    out = {"t_dense_us": round(t_dense * 1e6, 1)}
+    print(f"dense: {t_dense*1e6:.1f} us", flush=True)
+
+    run1 = jax.jit(mxu_matvec, static_argnames=("effort", "tau",
+                                                "tile_blocks", "slots"))
+    for eff in EFFORTS:
+        for tau in TAUS:
+            def mk(n, eff=eff, tau=tau):
+                @jax.jit
+                def run(v, bmx):
+                    def body(i, v):
+                        return bounce(mxu_matvec(bmx, v, eff, 0, tau=tau),
+                                      v)
+                    return jax.lax.fori_loop(0, n, body, v)
+                return run
+            t = chain_time(mk, 8, N_HI,
+                           [(acts(300 + i), bm) for i in range(12)],
+                           reps=REPS)
+            cs = []
+            for s in range(900, 912):
+                v = acts(s)
+                yd = np.asarray(dense_matvec(v, bm.dense[0]))
+                y = np.asarray(run1(bm, v, eff, 0, tau=tau))
+                cs.append(float(y @ yd / (np.linalg.norm(y)
+                                          * np.linalg.norm(yd) + 1e-30)))
+            key = f"e{int(eff*100)}_tau{tau}"
+            out[key] = {"t_us": round(t * 1e6, 1),
+                        "speedup_x": round(t_dense / t, 3),
+                        "cos": round(float(np.mean(cs)), 5)}
+            print(f"effort {eff} tau {tau}: {t*1e6:.1f} us "
+                  f"({t_dense/t:.2f}x) cos {np.mean(cs):.5f}", flush=True)
+    out["workload"] = ("w1 4096x14336 bf16, baked lognormal(1.2) "
+                       "calibration, B=1 row-prefix MXU kernel")
+    os.makedirs(f"{ROOT}/artifacts", exist_ok=True)
+    json.dump(out, open(f"{ROOT}/artifacts/tau_sweep.json", "w"), indent=1)
+    print("wrote artifacts/tau_sweep.json")
+
+
+if __name__ == "__main__":
+    main()

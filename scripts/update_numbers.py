@@ -34,21 +34,30 @@ TIMEOUTS = {"matvec": 600, "model": 1800, "int4": 600, "serving": 900,
             "moe": 1500, "longctx": 900}
 
 
-def run_phase(name: str):
-    print(f"measuring {name} ...", flush=True)
-    t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py"), "--phase", name],
-        cwd=ROOT, capture_output=True, text=True, timeout=TIMEOUTS[name])
-    for line in reversed((r.stdout or "").splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            out = json.loads(line)
-            print(f"  {name}: value={out.get('value')} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-            return out
-    raise RuntimeError(f"phase {name} produced no JSON: "
-                       f"{(r.stderr or '')[-500:]}")
+def run_phase(name: str, retries: int = 1):
+    """One bench phase in a subprocess; one retry (the tunnel flaps)."""
+    last = ""
+    for attempt in range(retries + 1):
+        print(f"measuring {name} (attempt {attempt + 1}) ...", flush=True)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py"),
+                 "--phase", name],
+                cwd=ROOT, capture_output=True, text=True,
+                timeout=TIMEOUTS[name])
+        except subprocess.TimeoutExpired:
+            last = f"timed out after {TIMEOUTS[name]}s"
+            continue
+        for line in reversed((r.stdout or "").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                out = json.loads(line)
+                print(f"  {name}: value={out.get('value')} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+                return out
+        last = (r.stderr or "")[-500:] or f"rc={r.returncode}, no JSON"
+    raise RuntimeError(f"phase {name} failed: {last}")
 
 
 def render_map(num: dict) -> dict:
@@ -95,12 +104,14 @@ def render_map(num: dict) -> dict:
                          f"(32L-equivalent "
                          f"{mo['moe_toks_per_s_32L_equiv_25']:.0f} tok/s "
                          f"@25%)")
-    if md and "agreement_25" in md:
-        r["mdl.agree"] = (f"argmax agreement vs full effort "
-                          f"{md['agreement_25']:.2f} @25% / "
-                          f"{md['agreement_50']:.2f} @50% (8L); "
-                          f"truncated-load 32L config "
-                          f"{md.get('full_depth_agreement_25', float('nan')):.2f} @25%")
+    if md and "logits_cos_25" in md:
+        r["mdl.agree"] = (f"teacher-forced logits cosine vs full effort "
+                          f"{md['logits_cos_25']:.3f} @25% / "
+                          f"{md['logits_cos_50']:.3f} @50% (8L bf16); "
+                          f"truncated-load 32L int8 config "
+                          f"{md.get('full_depth_logits_cos_25', float('nan')):.3f} @25% "
+                          f"(trained-checkpoint agreement curves: "
+                          f"QUALITY_trained.md)")
     if lc:
         big = lc.get("prefill_4096x8192", {})
         ring = lc.get("ring_kv", {})
@@ -152,12 +163,21 @@ def main():
     if os.path.exists(num_path):
         num = json.load(open(num_path))
     if not args.render:
+        failures = {}
         for name in args.phases.split(","):
-            num[name] = run_phase(name)
-        num["measured_at"] = time.strftime("%Y-%m-%d %H:%M UTC",
-                                           time.gmtime())
-        json.dump(num, open(num_path, "w"), indent=1)
-        print(f"wrote NUMBERS.json")
+            try:
+                num[name] = run_phase(name)
+            except Exception as e:   # keep earlier phases; record failure
+                failures[name] = str(e)[:300]
+                print(f"  {name} FAILED: {e}", flush=True)
+            # write incrementally: a later crash loses nothing
+            num["measured_at"] = time.strftime("%Y-%m-%d %H:%M UTC",
+                                               time.gmtime())
+            if failures:
+                num["failures"] = failures
+            json.dump(num, open(num_path, "w"), indent=1)
+        print("wrote NUMBERS.json"
+              + (f" ({len(failures)} phase failures)" if failures else ""))
     n = rewrite_docs(render_map(num))
     print(f"rewrote {n} marked spans")
 

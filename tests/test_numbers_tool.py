@@ -62,12 +62,26 @@ def test_docs_markers_resolve():
                                           "cos_vs_dense": 1}},
         "model": {"value": 1.0, "detail": {"model_toks_per_s_25": 1,
                                            "model_toks_per_s_50": 1,
-                                           "model_toks_per_s_100": 1}},
+                                           "model_toks_per_s_100": 1,
+                                           "logits_cos_25": 1.0,
+                                           "logits_cos_50": 1.0,
+                                           "full_depth_logits_cos_25": 1.0}},
         "serving": {"value": 1.0, "detail": {"batch": 8, "n_layers": 4,
                                              "agg_toks_32L_equiv": 1}},
         "moe": {"value": 1.0, "detail": {
             "n_layers": 4, "moe_toks_per_s_25": 1, "moe_toks_per_s_50": 1,
             "moe_toks_per_s_100": 1, "moe_toks_per_s_32L_equiv_25": 1}},
+        "longctx": {"value": 1.0, "detail": {
+            "prefill_1024x2048": {"t_xla_ms": 1, "t_flash_ms": 1,
+                                  "flash_speedup_x": 1.0,
+                                  "rel_err_vs_xla": 0.0},
+            "prefill_4096x8192": {"t_xla_ms": 1, "t_flash_ms": 1,
+                                  "flash_speedup_x": 1.0,
+                                  "rel_err_vs_xla": 0.0},
+            "ring_kv": {"window": 1024, "n_layers": 2,
+                        "ms_per_tok_at_pos_256": 1.0,
+                        "ms_per_tok_at_pos_5120": 1.0,
+                        "flat_ratio": 1.0}}},
     }))
     keys = set(un.render_map(num))
     pat = re.compile(r"<!--N:([a-z0-9._]+)-->")
