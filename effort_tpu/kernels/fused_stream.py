@@ -16,7 +16,7 @@ holds:
               bucketMul.metal:199-246 — same formulas as
               ops.effort.compute_cutoff, traced scalar arithmetic)
     n_i     = rank counts; u_k = v * [k < n_i] (* dequant scale)
-    lens_k  = ceil(alpha * count(n_i > k) / tile_rows)  -> cum offsets
+    lens_k  = tau selected-mass coverage bound (_prefix_len) -> offsets
   main loop: identical DMA-ring prefix streaming as prefix_stream._kernel.
 
 Everything after the (tiny) input transfers is a single launch;
@@ -45,7 +45,13 @@ _RATIO = 0.62
 # Default streamed-prefix over-read factor (see ops.bucketmul.DEFAULT_ALPHA)
 _ALPHA = float(os.environ.get("EFFORT_TPU_ALPHA", "1.3"))
 # Selected-mass coverage target for the streamed prefix (see _prefix_len).
-_TAU = float(os.environ.get("EFFORT_TPU_TAU", "0.9985"))
+# Default chosen from the measured tau -> (speed, cos) curve
+# (scripts/tau_sweep.py, artifacts/tau_sweep.json): at effort 25% on the
+# w1-shape lognormal workload, 0.97 -> 1.99x dense @ cos 0.9911 vs
+# 1.0 -> 1.46x @ cos 0.9931 — the exact-coverage ceiling is the
+# selection itself, so the last 3% of selected mass buys ~0.002 cos for
+# a third of the speedup.
+_TAU = float(os.environ.get("EFFORT_TPU_TAU", "0.97"))
 # Force interpret-mode pallas (CPU debugging/eval of the production
 # kernel semantics without a TPU; ~100x slower).
 _INTERPRET = os.environ.get("EFFORT_TPU_INTERPRET", "") == "1"

@@ -69,6 +69,20 @@ def bucket_matvec_jnp(bm: BucketedMatrix, v: jax.Array, effort,
     vals = vals[expert]
     pos = pos[expert]
 
+    if B == 1:
+        # row-prefix layout: buckets are single elements, positions are
+        # identically zero — the semantics collapse to one dense matmul
+        # u_0 @ W (the one-hot scatter below materializes [in, nb]
+        # temporaries per rank; ~30x slower CPU eval for nothing)
+        vk = vals[0].reshape(bm.in_dim, nb).astype(jnp.float32)
+        y = jnp.dot(u[0], vk, preferred_element_type=jnp.float32)
+        if bm.outlier_vals is not None:
+            ov = bm.outlier_vals[expert]
+            oi = bm.outlier_idx[expert]
+            y = y.at[oi[:, 1]].add(ov * v[oi[:, 0]],
+                                  indices_are_sorted=True)
+        return y
+
     y = jnp.zeros((nb, B), jnp.float32)
     for k in range(K):  # K is small & static; keeps the one-hot peak memory
         vk = vals[k].reshape(bm.in_dim, nb).astype(jnp.float32)

@@ -97,6 +97,11 @@ def stage_corpus(d: str, target_mb: float = 10.0, fact_repeats: int = 60):
                 f"{stdlib}/encodings/*.py", f"{stdlib}/importlib/*.py",
                 f"{stdlib}/logging/*.py", f"{stdlib}/multiprocessing/*.py"):
         paths += sorted(glob.glob(pat, recursive=True))
+    if target_mb > 15:
+        # medium corpus: site-packages python sources (~100+ MB on disk)
+        import site
+        sp = site.getsitepackages()[0]
+        paths += sorted(glob.glob(f"{sp}/**/*.py", recursive=True))
     chunks = []
     total = 0
     limit = int(target_mb * 1e6)
@@ -131,10 +136,25 @@ def stage_corpus(d: str, target_mb: float = 10.0, fact_repeats: int = 60):
 # model / train
 # --------------------------------------------------------------------------
 
+SIZES = {
+    # round-2 scale (the cliff-diagnosis checkpoint)
+    "small": dict(name="bytelm-90m", dim=1024, hidden_dim=3584,
+                  n_layers=6, steps=4000, corpus_mb=10.0),
+    # VERDICT r2 #5: ~3.5x params, ~6x data — tests whether the
+    # activation-outlier structure (which prefix streaming's speed
+    # depends on) emerges with scale/training
+    "medium": dict(name="bytelm-310m", dim=1536, hidden_dim=5376,
+                   n_layers=10, steps=6000, corpus_mb=60.0),
+}
+_SIZE = os.environ.get("TQ_SIZE", "small")
+
+
 def model_cfg():
     from effort_tpu.config import ModelConfig
-    return ModelConfig(name="bytelm-90m", dim=1024, hidden_dim=3584,
-                       n_layers=6, n_heads=16, n_kv_heads=8, head_dim=64,
+    sz = SIZES[_SIZE]
+    return ModelConfig(name=sz["name"], dim=sz["dim"],
+                       hidden_dim=sz["hidden_dim"], n_layers=sz["n_layers"],
+                       n_heads=sz["dim"] // 64, n_kv_heads=8, head_dim=64,
                        vocab_size=256, max_seq_len=2048, rope_theta=1e6)
 
 
@@ -368,7 +388,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all")
     ap.add_argument("--dir", default=f"{ROOT}/runs/trained_quality")
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="0 = the size preset's step count")
+    ap.add_argument("--size", default=None, choices=["small", "medium"],
+                    help="model/corpus scale (overrides TQ_SIZE)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the convert stage is "
                     "host-bound: pushing full-precision weights through "
@@ -376,6 +399,13 @@ def main():
                     "the env var alone does not win against the axon "
                     "plugin, only jax.config does)")
     args = ap.parse_args()
+    global _SIZE
+    if args.size:
+        _SIZE = args.size
+    if not args.steps:
+        args.steps = SIZES[_SIZE]["steps"]
+    if args.dir == f"{ROOT}/runs/trained_quality" and _SIZE != "small":
+        args.dir = f"{ROOT}/runs/trained_quality_{_SIZE}"
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -384,7 +414,8 @@ def main():
               if args.stage == "all" else [args.stage])
     for s in stages:
         print(f"=== stage {s} ===", flush=True)
-        {"corpus": lambda: stage_corpus(d),
+        {"corpus": lambda: stage_corpus(
+            d, target_mb=SIZES[_SIZE]["corpus_mb"]),
          "train": lambda: stage_train(d, args.steps),
          "convert": lambda: stage_convert(d),
          "eval": lambda: stage_eval(d),
