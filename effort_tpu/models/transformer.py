@@ -493,7 +493,7 @@ def bucket_matvec_jnp_traced(bm, v, effort, expert, impl):
         e = jnp.asarray(expert, jnp.int32)
         return jnp.dot(bm.permute_v(v, e).astype(jnp.bfloat16),
                        bm.dense[e], preferred_element_type=jnp.float32)
-    return bucket_matvec_jnp(bm, v, effort, expert)
+    return bucket_matvec_jnp(bm, v, effort, expert, exact_cutoff=False)
 
 
 def quantize_kv_rows(x):

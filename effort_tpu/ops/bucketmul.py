@@ -145,7 +145,12 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort,
         # dense copy stores permuted rows
         return dense_matvec(bm.permute_v(v, e), bm.dense[e])
     if impl == "jnp":
-        return bucket_matvec_jnp(bm, v, effort, expert)
+        # production cutoff semantics (the approximate two-level search
+        # the kernels use in-prologue) so jnp-vs-pallas comparisons are
+        # selection-identical; the sort-exact cutoff stays available via
+        # bucket_matvec_jnp(exact_cutoff=True) for oracle work
+        return bucket_matvec_jnp(bm, v, effort, expert,
+                                 exact_cutoff=False)
     if impl in ("pallas", "stream", "gather"):
         if impl in ("pallas", "stream"):
             # production path: per-rank prefix streaming with fused
@@ -235,9 +240,10 @@ def bucket_matmul(bm: BucketedMatrix, V: jax.Array, effort,
             ov, oi = bm.outlier_vals[e], bm.outlier_idx[e]
             y = y.at[:, oi[:, 1]].add(Vperm[:, oi[:, 0]] * ov[None, :])
         return y
-    # per-token exact bucketMul semantics (vectorized XLA)
+    # per-token bucketMul semantics (vectorized XLA; production cutoff)
     return jax.vmap(
-        lambda v: bucket_matvec_jnp(bm, v, effort, expert))(V)
+        lambda v: bucket_matvec_jnp(bm, v, effort, expert,
+                                    exact_cutoff=False))(V)
 
 
 def _supports_batch_kernel(bm: BucketedMatrix) -> bool:

@@ -32,6 +32,12 @@ from jax.sharding import PartitionSpec as P
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+os.environ.setdefault("EFFORT_TPU_TAU", "1.0")   # parity legs compare
+# the kernel against the jnp semantics: tau=1.0 streams through the
+# last selected chunk (exact selection coverage), so the two paths
+# compute the same function; production tau trades a bounded selected-
+# mass tail for speed and is measured separately (artifacts/tau_sweep).
+
 import effort_tpu  # noqa: F401
 from effort_tpu.config import BucketConfig, mistral_7b
 from effort_tpu.models.transformer import forward_token, make_kv_cache

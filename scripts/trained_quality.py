@@ -238,7 +238,7 @@ def recall_sweep(engine, facts, efforts, n_facts: int = 64):
     return out
 
 
-def stage_eval(d: str):
+def stage_eval(d: str, dtypes=("bf16", "int8")):
     from effort_tpu.eval import harness
     from effort_tpu.models.generate import Engine
     from effort_tpu.models.weights import load_bucketized
@@ -247,8 +247,10 @@ def stage_eval(d: str):
     facts = json.load(open(f"{d}/facts.json"))
     split = int(len(corpus) * 0.98)   # trainer holdout boundary
     hold = corpus[split:].astype(int).tolist()
-    results = {}
-    for dtype in ("bf16", "int8"):
+    out_path = f"{d}/eval.json"
+    results = (json.load(open(out_path))
+               if os.path.exists(out_path) else {})
+    for dtype in dtypes:
         w, cfg, _ = load_bucketized(f"{d}/ckpt_{dtype}")
         eng = Engine(w, cfg, impl="auto", dynamic_effort=True,
                      eos_id=-1)
@@ -269,8 +271,7 @@ def stage_eval(d: str):
         for name, sweep in r.items():
             row = "  ".join(f"{e:.2f}:{v:.3f}" for e, v in sweep.items())
             print(f"[{dtype}] {name}: {row}")
-    json.dump(results, open(f"{d}/eval.json", "w"), indent=1,
-              default=float)
+    json.dump(results, open(out_path, "w"), indent=1, default=float)
 
 
 def stage_sample(d: str):
@@ -416,6 +417,7 @@ def main():
         print(f"=== stage {s} ===", flush=True)
         {"corpus": lambda: stage_corpus(
             d, target_mb=SIZES[_SIZE]["corpus_mb"]),
+         "eval_int8": lambda: stage_eval(d, dtypes=("int8",)),
          "train": lambda: stage_train(d, args.steps),
          "convert": lambda: stage_convert(d),
          "eval": lambda: stage_eval(d),

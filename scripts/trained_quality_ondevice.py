@@ -1,0 +1,164 @@
+"""Trained-quality pipeline, ALL ON DEVICE (the medium/large-model path).
+
+The disk pipeline (scripts/trained_quality.py) round-trips the model
+through HF safetensors: fine for the 90M model, but at 310M+ params the
+~6.5 MB/s host<->TPU tunnel turns export+reload into hours. Here the
+params never leave the chip:
+
+  corpus (disk, ~60 MB, uploaded once)
+    -> train (effort_tpu.train, TPU)
+    -> uncalibrated in-memory assemble (assemble_weights)
+    -> on-device activation calibration (collect_act_rms)
+    -> calibrated BAKED re-assemble, bf16 + int8
+    -> eval with the production Engine (pallas kernels, traced effort)
+    -> artifacts: eval.json / train_history.json / calib_profile.json
+       (small JSON only; regenerate with this script)
+
+Also records the activation-profile concentration stats
+(max/median, top-25% mass share) — the quantity that decides whether
+prefix streaming gets its speedup on this model (docs/kernels.md
+"coverage bound").
+
+Usage: TQ_SIZE=medium python scripts/trained_quality_ondevice.py
+       [--steps N] [--dir runs/trained_quality_medium]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from scripts.trained_quality import (EFFORTS, SIZES, _SIZE, model_cfg,
+                                     recall_sweep, stage_corpus)
+
+
+def params_to_raw(params, cfg):
+    """Trainer param pytree (HF [L, out, in] linears) -> the raw dict
+    assemble_weights consumes ([n_inst, in, out] + heads/norms)."""
+    import jax.numpy as jnp
+    lp = params["layers"]
+    t = lambda x: jnp.transpose(x, (0, 2, 1))   # noqa: E731
+    return dict(
+        wq=t(lp["wq"]), wk=t(lp["wk"]), wv=t(lp["wv"]), wo=t(lp["wo"]),
+        w1=t(lp["w1"]), w2=t(lp["w2"]), w3=t(lp["w3"]),
+        ffn_gate=None,
+        tok_embeddings=params["embed"],
+        output=params["lm_head"].T,
+        attn_norm=lp["attn_norm"], ffn_norm=lp["ffn_norm"],
+        norm=params["norm"],
+    )
+
+
+def profile_stats(v) -> dict:
+    v = np.sort(np.asarray(v))[::-1]
+    n = len(v)
+    med = float(np.median(v)) + 1e-30
+    return {"n": n, "max_over_med": float(v[0] / med),
+            "p90_over_med": float(v[n // 10] / med),
+            "top25pct_mass": float(v[:n // 4].sum() / (v.sum() + 1e-30))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument("--dir", default=None)
+    args = ap.parse_args()
+    size = os.environ.get("TQ_SIZE", "medium")
+    sz = SIZES[size]
+    steps = args.steps or sz["steps"]
+    d = args.dir or f"{ROOT}/runs/trained_quality_{size}"
+    os.makedirs(d, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.convert.calibrate import collect_act_rms
+    from effort_tpu.eval import harness
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.transformer import assemble_weights
+    from effort_tpu.train import TrainConfig, train
+
+    import scripts.trained_quality as tq
+    tq._SIZE = size
+    cfg = tq.model_cfg()
+    print(f"model {cfg.name}: dim {cfg.dim} hidden {cfg.hidden_dim} "
+          f"layers {cfg.n_layers}", flush=True)
+
+    # ---- corpus ----
+    if not os.path.exists(f"{d}/corpus.npy"):
+        stage_corpus(d, target_mb=sz["corpus_mb"])
+    corpus = np.load(f"{d}/corpus.npy")
+    facts = json.load(open(f"{d}/facts.json"))
+
+    # ---- train ----
+    tcfg = TrainConfig(batch=32, seq_len=512, steps=steps, lr=3e-4,
+                       warmup=min(200, steps // 10), scan_chunk=50,
+                       holdout_frac=0.02)
+    t0 = time.time()
+    params, hist = train(cfg, corpus, tcfg)
+    train_s = time.time() - t0
+    print(f"trained {steps} steps in {train_s:.0f}s; final train "
+          f"{hist[-1][1]:.3f} holdout {hist[-1][2]:.3f} nats", flush=True)
+    json.dump({"steps": steps, "history": hist, "seconds": train_s},
+              open(f"{d}/train_history.json", "w"))
+
+    raw = params_to_raw(params, cfg)
+    del params
+
+    # ---- uncal assemble + on-device calibration ----
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
+    t0 = time.time()
+    w_uncal = assemble_weights(raw, cfg, bcfg)
+    rng = np.random.default_rng(3)
+    seqs = [corpus[s:s + 192].astype(int).tolist()
+            for s in rng.integers(0, len(corpus) - 200, 4)]
+    rms = collect_act_rms(w_uncal, cfg, seqs, impl="auto")
+    del w_uncal
+    prof = {"rms_m": profile_stats(rms["rms_m"]),
+            "rms_f": profile_stats(rms["rms_f"])}
+    json.dump(prof, open(f"{d}/calib_profile.json", "w"), indent=1)
+    print(f"calibration {time.time()-t0:.0f}s; profile {prof}", flush=True)
+
+    # ---- calibrated baked assemble + eval per dtype ----
+    split = int(len(corpus) * 0.98)
+    hold = corpus[split:].astype(int).tolist()
+    results = {}
+    for dtype in ("bf16", "int8"):
+        t0 = time.time()
+        b = dataclasses.replace(bcfg, dtype=dtype)
+        w = assemble_weights(raw, cfg, b, rms_m=rms["rms_m"],
+                             rms_f=rms["rms_f"], bake=True)
+        jax.block_until_ready(jax.tree_util.tree_leaves(w)[0])
+        print(f"[{dtype}] assembled {time.time()-t0:.0f}s", flush=True)
+        eng = Engine(w, cfg, impl="auto", dynamic_effort=True, eos_id=-1)
+        r = {}
+        t0 = time.time()
+        r["agreement"] = harness.agreement_sweep(
+            eng, hold[:128], n_tokens=128, efforts=EFFORTS)
+        print(f"[{dtype}] agreement done {time.time()-t0:.0f}s: " +
+              " ".join(f"{e:.2f}:{v:.3f}"
+                       for e, v in r["agreement"].items()), flush=True)
+        r["nll"] = harness.nll_sweep(eng, hold[1000:2024], efforts=EFFORTS)
+        print(f"[{dtype}] nll done {time.time()-t0:.0f}s", flush=True)
+        r["recall"] = recall_sweep(eng, facts, EFFORTS)
+        print(f"[{dtype}] recall done {time.time()-t0:.0f}s: " +
+              " ".join(f"{e:.2f}:{v:.3f}"
+                       for e, v in r["recall"].items()), flush=True)
+        results[dtype] = r
+        del w, eng
+        json.dump(results, open(f"{d}/eval.json", "w"), indent=1,
+                  default=float)
+    print("wrote eval.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

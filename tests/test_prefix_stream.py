@@ -52,19 +52,19 @@ def _emulate(bm, sel, tile_blocks):
 def test_full_cover_matches_jnp(setup):
     bm, vs = setup
     for v in vs[:2]:
-        sel = select_stream(bm, v, 0.3, 0, alpha=1e9, tile_blocks=2,
+        sel = select_stream(bm, v, 0.3, 0, tau=1.0, tile_blocks=2,
                             exact_cutoff=True)
         y_em = _emulate(bm, sel, 2)
         y_jnp = np.asarray(bucket_matvec_jnp(bm, v, 0.3))
         np.testing.assert_allclose(y_em, y_jnp, atol=2e-3)
 
 
-def test_partial_alpha_is_truncation(setup):
+def test_partial_tau_is_truncation(setup):
     bm, vs = setup
     v = vs[0]
-    sel_full = select_stream(bm, v, 0.3, 0, alpha=1e9, tile_blocks=2,
+    sel_full = select_stream(bm, v, 0.3, 0, tau=1.0, tile_blocks=2,
                              exact_cutoff=True)
-    sel_part = select_stream(bm, v, 0.3, 0, alpha=1.2, tile_blocks=2,
+    sel_part = select_stream(bm, v, 0.3, 0, tau=0.8, tile_blocks=2,
                              exact_cutoff=True)
     cum_f = np.asarray(sel_full.cum_tiles)
     cum_p = np.asarray(sel_part.cum_tiles)
