@@ -39,17 +39,19 @@ def init_params(cfg: ModelConfig, seed: int = 0,
     """HF-layout parameter pytree: linear weights are [out_features,
     in_features] stacked over layers, so export_hf writes them verbatim
     and convert_checkpoint's transpose convention applies unchanged."""
-    assert cfg.n_experts == 1, "trainer covers dense models"
     key = jax.random.key(seed)
     ks = iter(jax.random.split(key, 16))
     D, H, V, L = cfg.dim, cfg.hidden_dim, cfg.vocab_size, cfg.n_layers
+    E = cfg.n_experts
     q_out = cfg.n_heads * cfg.head_dim
     kv_out = cfg.n_kv_heads * cfg.head_dim
 
     def w(k, shape):
         return jax.random.normal(k, shape, jnp.float32) * scale
 
-    return {
+    ffn_shape = (L, H, D) if E == 1 else (L, E, H, D)
+    ffn_shape_dn = (L, D, H) if E == 1 else (L, E, D, H)
+    params = {
         "embed": w(next(ks), (V, D)),
         "norm": jnp.ones((D,), jnp.float32),
         "lm_head": w(next(ks), (V, D)),
@@ -60,11 +62,14 @@ def init_params(cfg: ModelConfig, seed: int = 0,
             "wk": w(next(ks), (L, kv_out, D)),
             "wv": w(next(ks), (L, kv_out, D)),
             "wo": w(next(ks), (L, D, q_out)),
-            "w1": w(next(ks), (L, H, D)),
-            "w2": w(next(ks), (L, D, H)),
-            "w3": w(next(ks), (L, H, D)),
+            "w1": w(next(ks), ffn_shape),
+            "w2": w(next(ks), ffn_shape_dn),
+            "w3": w(next(ks), ffn_shape),
         },
     }
+    if E > 1:
+        params["layers"]["gate"] = w(next(ks), (L, D, E))
+    return params
 
 
 # --------------------------------------------------------------------------
@@ -118,30 +123,59 @@ def forward(params: Dict, cfg: ModelConfig, toks: jax.Array) -> jax.Array:
         attn = attn.reshape(B, T, KV * rep * D)
         h = h + jnp.einsum("bto,do->btd", attn, lp["wo"][l])
         fn = _rms_norm(h, lp["ffn_norm"][l], cfg.norm_eps)
-        x1 = jnp.einsum("btd,hd->bth", fn, lp["w1"][l])
-        x3 = jnp.einsum("btd,hd->bth", fn, lp["w3"][l])
-        h = h + jnp.einsum("bth,dh->btd", jax.nn.silu(x1) * x3,
-                           lp["w2"][l])
-        return h, None
+        if cfg.n_experts == 1:
+            x1 = jnp.einsum("btd,hd->bth", fn, lp["w1"][l])
+            x3 = jnp.einsum("btd,hd->bth", fn, lp["w3"][l])
+            h = h + jnp.einsum("bth,dh->btd", jax.nn.silu(x1) * x3,
+                               lp["w2"][l])
+            return h, 0.0
+        # MoE: top-k gating, ALL experts computed densely (training-time
+        # only — tiny expert counts make this cheaper than a2a routing
+        # machinery on one chip; serving uses the sparse top-2 path).
+        # Differentiable through the kept gate probs; Switch-style
+        # load-balance aux loss returned per layer.
+        E, k = cfg.n_experts, cfg.n_experts_per_tok
+        gl = jnp.einsum("btd,de->bte", fn, lp["gate"][l])      # [B,T,E]
+        top_vals, top_idx = jax.lax.top_k(gl, k)
+        gates = jax.nn.softmax(top_vals, axis=-1)              # [B,T,k]
+        w_e = jnp.sum(jax.nn.one_hot(top_idx, E) * gates[..., None],
+                      axis=2)                                  # [B,T,E]
+        x1 = jnp.einsum("btd,ehd->bteh", fn, lp["w1"][l])
+        x3 = jnp.einsum("btd,ehd->bteh", fn, lp["w3"][l])
+        y = jnp.einsum("bteh,edh->bted", jax.nn.silu(x1) * x3,
+                       lp["w2"][l])                            # [B,T,E,D]
+        h = h + jnp.sum(y * w_e[..., None], axis=2)
+        # aux: E * sum_e f_e * p_e (f = routed fraction, p = mean prob)
+        probs = jax.nn.softmax(gl, axis=-1)
+        f_e = jnp.mean(jnp.sum(jax.nn.one_hot(top_idx, E), axis=2),
+                       axis=(0, 1)) / k
+        p_e = jnp.mean(probs, axis=(0, 1))
+        aux = E * jnp.sum(f_e * p_e)
+        return h, aux
 
     # remat each layer: with [B,H,T,T] score tensors, saving every
     # layer's attention activations for backward blows HBM at training
     # dims; recomputing them is the standard TPU trade (HBM is the
     # bottleneck, MXU FLOPs are cheap).
-    h, _ = jax.lax.scan(jax.checkpoint(layer), h,
-                        jnp.arange(cfg.n_layers))
+    h, aux = jax.lax.scan(jax.checkpoint(layer), h,
+                          jnp.arange(cfg.n_layers))
     h = _rms_norm(h, params["norm"], cfg.norm_eps)
-    return jnp.einsum("btd,vd->btv", h, params["lm_head"])
+    logits = jnp.einsum("btd,vd->btv", h, params["lm_head"])
+    return logits, jnp.mean(aux)
 
 
-def next_token_loss(params, cfg, toks):
-    """Mean next-token cross-entropy over [B, T] batches (nats)."""
-    logits = forward(params, cfg, toks[:, :-1])
+def next_token_loss(params, cfg, toks, aux_coef: float = 0.01):
+    """Mean next-token cross-entropy over [B, T] batches (nats), plus
+    aux_coef * load-balance loss for MoE configs."""
+    logits, aux = forward(params, cfg, toks[:, :-1])
     targets = toks[:, 1:]
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, targets[..., None],
                                axis=-1)[..., 0]
-    return jnp.mean(logz - gold)
+    loss = jnp.mean(logz - gold)
+    if cfg.n_experts > 1:
+        loss = loss + aux_coef * aux
+    return loss
 
 
 # --------------------------------------------------------------------------

@@ -42,15 +42,24 @@ from scripts.trained_quality import (EFFORTS, SIZES, _SIZE, model_cfg,
 
 
 def params_to_raw(params, cfg):
-    """Trainer param pytree (HF [L, out, in] linears) -> the raw dict
-    assemble_weights consumes ([n_inst, in, out] + heads/norms)."""
+    """Trainer param pytree (HF [L, out, in] linears; MoE FFNs
+    [L, E, out, in]) -> the raw dict assemble_weights consumes
+    ([n_inst, in, out] + heads/norms; FFN instances packed [L*E, ...],
+    the reference's packed-expert layout, loader.swift:124)."""
     import jax.numpy as jnp
     lp = params["layers"]
     t = lambda x: jnp.transpose(x, (0, 2, 1))   # noqa: E731
+
+    def ffn(x):
+        if x.ndim == 3:                          # dense [L, out, in]
+            return t(x)
+        L, E, o, i = x.shape                     # MoE [L, E, out, in]
+        return jnp.transpose(x.reshape(L * E, o, i), (0, 2, 1))
+
     return dict(
         wq=t(lp["wq"]), wk=t(lp["wk"]), wv=t(lp["wv"]), wo=t(lp["wo"]),
-        w1=t(lp["w1"]), w2=t(lp["w2"]), w3=t(lp["w3"]),
-        ffn_gate=None,
+        w1=ffn(lp["w1"]), w2=ffn(lp["w2"]), w3=ffn(lp["w3"]),
+        ffn_gate=lp.get("gate"),
         tok_embeddings=params["embed"],
         output=params["lm_head"].T,
         attn_norm=lp["attn_norm"], ffn_norm=lp["ffn_norm"],

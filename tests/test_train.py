@@ -31,7 +31,7 @@ def test_forward_shapes_and_loss_finite():
     params = init_params(cfg, seed=0)
     toks = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 16)), jnp.int32)
-    logits = forward(params, cfg, toks)
+    logits, _ = forward(params, cfg, toks)
     assert logits.shape == (2, 16, cfg.vocab_size)
     assert bool(jnp.isfinite(logits).all())
     loss = next_token_loss(params, cfg, toks)
@@ -57,7 +57,7 @@ def test_forward_parity_with_inference_stack(tmp_path):
 
     toks = [5, 250, 17, 99, 3]
     ref = np.asarray(forward(params, cfg,
-                             jnp.asarray([toks], jnp.int32))[0])
+                             jnp.asarray([toks], jnp.int32))[0][0])
     kc, vc = make_kv_cache(cfg2)
     for t, tok in enumerate(toks):
         lg, kc, vc = forward_token(w, cfg2, jnp.asarray(tok),
@@ -95,3 +95,41 @@ def test_byte_corpus_from_files(tmp_path):
     assert c.dtype == np.uint8 and len(c) == 18
     c2 = byte_corpus_from_files([str(p1), str(p2)], limit_bytes=11)
     assert len(c2) == 11
+
+
+def test_moe_forward_parity():
+    """Trainer MoE forward (dense all-experts, top-2 gated) must match
+    the serving MoE path (_ffn top-2 sparse, runNetwork.swift:184-201)
+    through the in-memory assembly used by the on-device quality
+    pipeline (scripts/trained_quality_ondevice.params_to_raw)."""
+    import dataclasses as _dc
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "tq_ondevice", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "trained_quality_ondevice.py"))
+    tqo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tqo)
+
+    from effort_tpu.models.transformer import (assemble_weights,
+                                               forward_token,
+                                               make_kv_cache)
+    cfg = _cfg()
+    cfg = _dc.replace(cfg, n_experts=4, n_experts_per_tok=2)
+    params = init_params(cfg, seed=5)
+    raw = tqo.params_to_raw(params, cfg)
+    w = assemble_weights(raw, cfg, BucketConfig(bucket_size=4,
+                                                chunk_rows=8))
+
+    toks = [5, 250, 17, 99]
+    ref = np.asarray(forward(params, cfg,
+                             jnp.asarray([toks], jnp.int32))[0][0])
+    kc, vc = make_kv_cache(cfg)
+    for t, tok in enumerate(toks):
+        lg, kc, vc = forward_token(w, cfg, jnp.asarray(tok),
+                                   jnp.asarray(t), kc, vc, effort=1.0,
+                                   impl="jnp")
+        a, b = np.asarray(lg, np.float64), ref[t].astype(np.float64)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.999, (t, cos)
