@@ -150,7 +150,7 @@ SIZES = {
     # got working (docs/q8.html "one bug away")
     "moe": dict(name="bytelm-moe4-120m", dim=768, hidden_dim=1536,
                 n_layers=6, steps=3000, corpus_mb=30.0,
-                n_experts=4, n_experts_per_tok=2),
+                n_experts=4, n_experts_per_tok=2, n_kv_heads=4),
 }
 _SIZE = os.environ.get("TQ_SIZE", "small")
 
@@ -160,7 +160,8 @@ def model_cfg():
     sz = SIZES[_SIZE]
     return ModelConfig(name=sz["name"], dim=sz["dim"],
                        hidden_dim=sz["hidden_dim"], n_layers=sz["n_layers"],
-                       n_heads=sz["dim"] // 64, n_kv_heads=8, head_dim=64,
+                       n_heads=sz["dim"] // 64,
+                       n_kv_heads=sz.get("n_kv_heads", 8), head_dim=64,
                        vocab_size=256, max_seq_len=2048, rope_theta=1e6,
                        n_experts=sz.get("n_experts", 1),
                        n_experts_per_tok=sz.get("n_experts_per_tok", 2))
