@@ -179,7 +179,15 @@ def main(argv=None):
             print(f"effort {e*100:5.1f}%: accuracy {s*100:5.1f}%")
     elif args.mode == "agreement":
         from effort_tpu.eval.harness import agreement_sweep
-        out = agreement_sweep(engine, encode(args.prompt),
+        prompt = args.prompt
+        if prompt == "How are":   # default: the fixed real-text article
+            # (role of the reference's benchmarks/data/article.json)
+            import json as _json
+            import os as _os
+            art = _os.path.join(_os.path.dirname(__file__), "eval",
+                                "data", "article.json")
+            prompt = _json.load(open(art))["body"][:600]
+        out = agreement_sweep(engine, encode(prompt),
                               n_tokens=args.n_tokens)
         for e, s in out.items():
             print(f"effort {e*100:5.1f}%: agreement {s*100:5.1f}%")
