@@ -46,6 +46,13 @@ def _build_engine(args):
     if args.qhead:
         from effort_tpu.models.transformer import quantize_head
         w = quantize_head(w)
+    if args.effort_floors:
+        import dataclasses
+        floors = {}
+        for part in args.effort_floors.split(","):
+            name, val = part.split("=")
+            floors[name.strip()] = float(val)
+        cfg = dataclasses.replace(cfg, effort_floors=floors)
     # row-prefix layout: effort is a traced scalar — the REPL's effort
     # knob moves without recompiling (reference contract)
     dyn = w.layers.any_w1.bucket_size == 1
@@ -72,6 +79,10 @@ def main(argv=None):
                    help="use random weights (tiny|mistral-7b)")
     p.add_argument("--tokenizer", help="tokenizer.json path")
     p.add_argument("--effort", type=float, default=1.0)
+    p.add_argument("--effort-floors", default=None,
+                   help="per-projection minimum efforts, e.g. "
+                        "'wk=0.4,wv=0.4' (quality mitigation at low "
+                        "effort; see QUALITY_trained.md §3)")
     p.add_argument("--percent-load", type=float, default=None)
     p.add_argument("--dtype", default="bf16",
                    choices=["bf16", "int8", "int4"])
