@@ -107,11 +107,20 @@ def render_map(num: dict) -> dict:
     if md and "logits_cos_25" in md:
         r["mdl.agree"] = (f"teacher-forced logits cosine vs full effort "
                           f"{md['logits_cos_25']:.3f} @25% / "
-                          f"{md['logits_cos_50']:.3f} @50% (8L bf16); "
-                          f"truncated-load 32L int8 config "
-                          f"{md.get('full_depth_logits_cos_25', float('nan')):.3f} @25% "
-                          f"(trained-checkpoint agreement curves: "
-                          f"QUALITY_trained.md)")
+                          f"{md['logits_cos_50']:.3f} @50% (8L bf16 "
+                          f"synthetic); truncated-load 32L int8 config "
+                          f"{md.get('full_depth_logits_cos_25', float('nan')):.3f} @25%")
+        tq_path = os.path.join(ROOT, "artifacts", "quality",
+                               "eval_310m.json")
+        if os.path.exists(tq_path):
+            tq = json.load(open(tq_path))
+            ag = {float(k): v for k, v in
+                  tq["bf16"]["agreement"].items()}
+            r["mdl.agree"] += (f"; TRAINED 310M checkpoint argmax "
+                               f"agreement {ag.get(0.25, float('nan')):.2f} @25% / "
+                               f"{ag.get(0.4, float('nan')):.2f} @40% "
+                               f"(reference 7B: ~0.80/~0.90 — "
+                               f"QUALITY_trained.md)")
     if lc:
         big = lc.get("prefill_4096x8192", {})
         ring = lc.get("ring_kv", {})
