@@ -89,7 +89,10 @@ def _prefix_len(mass, tau):
     tot = jnp.max(cum, axis=0, keepdims=True)       # [1, ...]
     # cum is nondecreasing: #(cum < tau*tot) = first chunk reaching
     # tau*tot; +1 = number of chunks to stream. Zero selection -> 1.
-    return jnp.sum((cum < tau * tot).astype(jnp.int32), axis=0) + 1
+    # Clamp to nc: a (user-error) tau > 1 would otherwise count all nc
+    # chunks below threshold and send the DMA one tile past the slab.
+    return jnp.minimum(
+        jnp.sum((cum < tau * tot).astype(jnp.int32), axis=0) + 1, nc)
 
 def _thresh_tables(lane):
     """Per-lane threshold coefficient tables, built from an iota (pallas

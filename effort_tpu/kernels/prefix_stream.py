@@ -78,7 +78,8 @@ def select_stream(bm: BucketedMatrix, v: jax.Array, effort, expert,
                          0.0).reshape(K, nc, G)              # [K, nc, G]
     cum_mass = jnp.cumsum(jnp.sum(sel_mass, axis=2), axis=1)  # [K, nc]
     tot = jnp.max(cum_mass, axis=1, keepdims=True)
-    C = jnp.sum((cum_mass < tau * tot).astype(jnp.int32), axis=1) + 1
+    C = jnp.minimum(
+        jnp.sum((cum_mass < tau * tot).astype(jnp.int32), axis=1) + 1, nc)
     lens = (C + tile_blocks - 1) // tile_blocks             # [K] tiles
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(lens).astype(jnp.int32)])
