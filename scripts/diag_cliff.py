@@ -14,12 +14,15 @@ causes and the stage that isolates each:
               (stat_i*|v_i| > cutoff) row mass falls inside the streamed
               prefix ceil(count*alpha) for every projection/effort; also
               the prefix length that would cover 99% of selected mass.
-  alpha    -> agreement at effort .4/.25 for alpha in {1.4, 2, 4, 1e6}
-              (1e6 == stream everything == exact semantics at kernel
-              launch cost) via the EFFORT_TPU_ALPHA env override.
+  tau      -> agreement at effort .5/.4/.25 for coverage targets
+              tau in {0.9, 0.97, 1.0} via the EFFORT_TPU_TAU override
+              (replaced the round-2 alpha sweep after the coverage-
+              bound kernel redesign).
+  floors   -> per-projection effort-floor configs vs agreement and
+              extra-FLOPs cost.
 
 Artifacts: runs/diag/{bisect,coverage,alpha}.json.
-Usage: python scripts/diag_cliff.py --stage bisect|coverage|alpha|report
+Usage: python scripts/diag_cliff.py --stage bisect|bisect_jnp|coverage|floors|tau [--cpu]
        [--ckpt runs/trained_quality/ckpt_bf16]
 """
 
@@ -207,12 +210,15 @@ def stage_floors(d, ckpt):
     json.dump(out, open(f"{d}/floors.json", "w"), indent=1, default=float)
 
 
-def stage_alpha(d, ckpt):
-    """Model-level agreement vs alpha (env override; subprocess per value
-    because the kernels cache alpha at import/trace time)."""
+def stage_tau(d, ckpt):
+    """Model-level agreement vs the coverage target tau (env override;
+    subprocess per value — _TAU is read at import). Historical note:
+    this stage replaced the round-2 'alpha' sweep after the kernels
+    switched from the alpha prefix heuristic to the tau selected-mass
+    coverage bound (alpha args are ignored now)."""
     import subprocess
     out = {}
-    for a in (1.4, 2.0, 4.0, 1e6):
+    for a in (0.9, 0.97, 1.0):
         code = f"""
 import sys, json
 sys.path.insert(0, {ROOT!r})
@@ -223,19 +229,19 @@ r = harness.agreement_sweep(eng, _holdout(0, 96), n_tokens=96,
                             efforts=[0.5, 0.4, 0.25])
 print("RESULT" + json.dumps(r, default=float))
 """
-        env = dict(os.environ, EFFORT_TPU_ALPHA=str(a))
+        env = dict(os.environ, EFFORT_TPU_TAU=str(a))
         t0 = time.time()
         p = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=1200)
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("RESULT")]
         if not line:
-            print(f"alpha={a}: FAILED\n{p.stdout[-500:]}\n{p.stderr[-800:]}")
+            print(f"tau={a}: FAILED\n{p.stdout[-500:]}\n{p.stderr[-800:]}")
             continue
         out[str(a)] = json.loads(line[0][6:])
-        print(f"alpha={a} ({time.time()-t0:.0f}s): " + "  ".join(
+        print(f"tau={a} ({time.time()-t0:.0f}s): " + "  ".join(
             f"{e}:{v:.3f}" for e, v in out[str(a)].items()), flush=True)
-    json.dump(out, open(f"{d}/alpha.json", "w"), indent=1, default=float)
+    json.dump(out, open(f"{d}/tau.json", "w"), indent=1, default=float)
 
 
 def main():
@@ -252,18 +258,17 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.dir, exist_ok=True)
-    stages = (["bisect", "coverage", "alpha"] if args.stage == "all"
+    stages = (["bisect", "coverage", "tau"] if args.stage == "all"
               else [args.stage])
-    if "bisect_jnp" in stages:
-        pass  # jnp-only: interpret-mode pallas is too slow off-TPU
     for s in stages:
         print(f"=== {s} ===", flush=True)
         {"bisect": lambda: stage_bisect(args.dir, args.ckpt),
          "bisect_jnp": lambda: stage_bisect(args.dir, args.ckpt,
                                             impls=("jnp",)),
          "floors": lambda: stage_floors(args.dir, args.ckpt),
+         "tau": lambda: stage_tau(args.dir, args.ckpt),
          "coverage": lambda: stage_coverage(args.dir, args.ckpt),
-         "alpha": lambda: stage_alpha(args.dir, args.ckpt)}[s]()
+         }[s]()
 
 
 if __name__ == "__main__":
