@@ -65,13 +65,22 @@ def make_pod_mesh(axis_names: Sequence[str] = ("dp", "tp"),
         ici = [1] * (len(axis_names) - 1) + [n_local]
     else:
         ici = list(ici_axes)
+    assert len(ici) == len(axis_names), \
+        f"ici_axes must give one factor per axis name: {ici} {axis_names}"
     assert int(np.prod(ici)) == n_local, (ici, n_local)
 
     if n_hosts > 1:
         from jax.experimental import mesh_utils
         shape = tuple(d * i for d, i in zip(dcn, ici))
+        # The DCN granule is the ICI slice on multi-slice TPU pods; on
+        # CPU/GPU multi-process runtimes (and single-slice pods) every
+        # device reports slice_index 0, so fall back to process granules
+        # whenever the slice count can't satisfy the requested DCN shape
+        # (this is the path the 2-process localhost test exercises)
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        by_process = n_slices != int(np.prod(dcn))
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            ici, dcn, devices=devices)
+            ici, dcn, devices=devices, process_is_granule=by_process)
         return Mesh(dev_array.reshape(shape), tuple(axis_names))
     shape = tuple(d * i for d, i in zip(dcn, ici))
     assert int(np.prod(shape)) <= len(devices)

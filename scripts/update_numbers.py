@@ -24,14 +24,23 @@ import glob
 import json
 import os
 import re
-import subprocess
 import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PHASES = ["matvec", "model", "int4", "serving", "moe", "longctx"]
-TIMEOUTS = {"matvec": 600, "model": 1800, "int4": 600, "serving": 900,
-            "moe": 1500, "longctx": 900}
+sys.path.insert(0, ROOT)
+
+from bench import _run_sub  # process-group-safe subprocess (wedge-proof)
+
+PHASES = ["matvec", "model", "trained", "int4", "serving", "moe",
+          "longctx"]
+TIMEOUTS = {"matvec": 600, "model": 1800, "trained": 900, "int4": 600,
+            "serving": 900, "moe": 1500, "longctx": 900}
+# Phase-level repetitions (VERDICT r3 weak #2: single-rep publishing hid
+# 25-40% run-to-run variance). Each rep is a fresh process; the value
+# published is the MEDIAN rep, with min/max recorded as the spread.
+REPS = {"matvec": 3, "int4": 3, "serving": 3, "moe": 3, "model": 2,
+        "trained": 2, "longctx": 2}
 
 
 def run_phase(name: str, retries: int = 1):
@@ -40,24 +49,45 @@ def run_phase(name: str, retries: int = 1):
     for attempt in range(retries + 1):
         print(f"measuring {name} (attempt {attempt + 1}) ...", flush=True)
         t0 = time.time()
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.join(ROOT, "bench.py"),
-                 "--phase", name],
-                cwd=ROOT, capture_output=True, text=True,
-                timeout=TIMEOUTS[name])
-        except subprocess.TimeoutExpired:
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(ROOT, "bench.py"),
+             "--phase", name], TIMEOUTS[name])
+        if rc == -9:
             last = f"timed out after {TIMEOUTS[name]}s"
             continue
-        for line in reversed((r.stdout or "").splitlines()):
+        for line in reversed(out.splitlines()):
             line = line.strip()
             if line.startswith("{"):
-                out = json.loads(line)
-                print(f"  {name}: value={out.get('value')} "
+                out_j = json.loads(line)
+                print(f"  {name}: value={out_j.get('value')} "
                       f"({time.time()-t0:.0f}s)", flush=True)
-                return out
-        last = (r.stderr or "")[-500:] or f"rc={r.returncode}, no JSON"
+                return out_j
+        last = err[-500:] or f"rc={rc}, no JSON"
     raise RuntimeError(f"phase {name} failed: {last}")
+
+
+def run_phase_reps(name: str, reps: int):
+    """Median-of-reps measurement: the published entry is the median rep
+    (full detail included), annotated with the min/max spread and a
+    per-entry timestamp."""
+    outs, fails = [], []
+    for i in range(reps):
+        try:
+            outs.append(run_phase(name, retries=1))
+        except Exception as e:
+            fails.append(str(e)[:200])
+    if not outs:
+        raise RuntimeError(f"all {reps} reps failed: {fails[-1]}")
+    vals = sorted(o.get("value") or 0.0 for o in outs)
+    med = dict(sorted(outs, key=lambda o: o.get("value") or 0.0)
+               [len(outs) // 2])
+    med["spread"] = {"reps_requested": reps, "reps_ok": len(outs),
+                     "min": round(vals[0], 3), "max": round(vals[-1], 3),
+                     "values": [round(v, 3) for v in vals]}
+    if fails:
+        med["spread"]["failed_reps"] = fails
+    med["measured_at"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    return med
 
 
 def render_map(num: dict) -> dict:
@@ -68,6 +98,8 @@ def render_map(num: dict) -> dict:
     i4d = i4.get("detail", {})
     md = num.get("model", {}).get("detail", {})
     mdv = num.get("model", {}).get("value")
+    tr = num.get("trained", {})
+    trd = tr.get("detail", {})
     sv = num.get("serving", {})
     svd = sv.get("detail", {})
     mo = num.get("moe", {}).get("detail", {})
@@ -91,6 +123,16 @@ def render_map(num: dict) -> dict:
                          f"effort** ({md['model_toks_per_s_50']:.0f} @50%, "
                          f"{md['model_toks_per_s_100']:.0f} @100%)")
         r["mdl.tok25"] = f"{md['model_toks_per_s_25']:.0f} tok/s @25%"
+    if trd:
+        r["trn.line"] = (
+            f"**{tr['value']:.2f}x dense at 25% effort with "
+            f"{trd['agreement_25']:.2f} argmax agreement, on the same "
+            f"trained {trd['model']} checkpoint** "
+            f"({trd['toks_per_s_25']:.0f} tok/s @25%, "
+            f"{trd['toks_per_s_100']:.0f} @100%, dense "
+            f"{trd['dense_toks_per_s']:.0f}; measured streamed-chunk "
+            f"fraction {trd.get('streamed_chunk_frac_25', float('nan')):.2f} "
+            f"@25%)")
     if sv:
         r["srv.line"] = (f"**{sv['value']:.0f} tok/s aggregate at batch "
                          f"{svd['batch']}, effort 25%** "
@@ -165,28 +207,36 @@ def main():
     ap.add_argument("--render", action="store_true",
                     help="rewrite docs from existing NUMBERS.json")
     ap.add_argument("--phases", default=",".join(PHASES))
+    ap.add_argument("--reps", type=int, default=0,
+                    help="override per-phase rep counts (0 = REPS table)")
     args = ap.parse_args()
 
     num_path = f"{ROOT}/NUMBERS.json"
     num = {}
     if os.path.exists(num_path):
         num = json.load(open(num_path))
+    num.pop("failures", None)       # legacy top-level failure blob
     if not args.render:
-        failures = {}
+        n_fail = 0
         for name in args.phases.split(","):
             try:
-                num[name] = run_phase(name)
-            except Exception as e:   # keep earlier phases; record failure
-                failures[name] = str(e)[:300]
+                num[name] = run_phase_reps(name, args.reps
+                                           or REPS.get(name, 2))
+            except Exception as e:
+                # a failed refresh must not SILENTLY keep the old value
+                # (VERDICT r3 weak #3): the entry is kept but explicitly
+                # marked stale with the failure attached
+                n_fail += 1
                 print(f"  {name} FAILED: {e}", flush=True)
+                if name in num:
+                    num[name]["stale"] = True
+                    num[name]["refresh_error"] = str(e)[:300]
             # write incrementally: a later crash loses nothing
             num["measured_at"] = time.strftime("%Y-%m-%d %H:%M UTC",
                                                time.gmtime())
-            if failures:
-                num["failures"] = failures
             json.dump(num, open(num_path, "w"), indent=1)
         print("wrote NUMBERS.json"
-              + (f" ({len(failures)} phase failures)" if failures else ""))
+              + (f" ({n_fail} phase failures)" if n_fail else ""))
     n = rewrite_docs(render_map(num))
     print(f"rewrote {n} marked spans")
 

@@ -45,3 +45,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "smoke: fast core-coverage tier (pytest -m smoke, < 3 min)")
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (subprocess fleets, big shapes)")
