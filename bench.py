@@ -260,7 +260,7 @@ def orchestrate():
     # into detail and re-emits the headline. trained = the same-model
     # speed+quality table (VERDICT r3 missing #2) — right after the
     # headline phases, before the cheaper extras.
-    for extra, t_s in (("trained", 600), ("int4", 300), ("serving", 450),
+    for extra, t_s in (("trained", 700), ("int4", 300), ("serving", 450),
                        ("moe", 600), ("longctx", 550)):
         if _left() < 150:
             break
@@ -515,17 +515,17 @@ def phase_trained():
     tok/s, speedup vs the dense MXU path, argmax agreement vs its own
     effort=1.0 decode, and the measured streamed-chunk fraction (the
     mechanistic link from the activation profile to the speedup)."""
-    _arm_watchdog(580)
+    _arm_watchdog(680)
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     import effort_tpu  # noqa: F401
-    from effort_tpu.models.weights import load_bucketized
-    from effort_tpu.models.transformer import (forward_token,
-                                               make_kv_cache)
-    from effort_tpu.ops.effort import compute_cutoff
-    from effort_tpu.ops.layouts import strided_sample
+    from effort_tpu.eval.harness import (decode_speed_sweep,
+                                         streamed_fraction,
+                                         tf_agreement_sweep)
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.weights import attach_dense, load_bucketized
     from effort_tpu.kernels.fused_stream import _TAU
 
     cands = _trained_ckpt_candidates()
@@ -535,146 +535,43 @@ def phase_trained():
                           "error": "no-trained-checkpoint"}))
         return
     ckpt = cands[0]
-    w, cfg, _ = load_bucketized(ckpt, load_dense=True)
+    # dense baseline copies are REBUILT ON DEVICE from the buckets
+    # (attach_dense): uploading stored .core copies through the
+    # ~6.5 MB/s tunnel would double the load time
+    w, cfg, _ = load_bucketized(ckpt, load_dense=False)
+    w = attach_dense(w)
     jax.block_until_ready(jax.tree_util.tree_leaves(w)[0])
     detail = {"checkpoint": os.path.relpath(ckpt, ROOT),
               "model": cfg.name, "n_layers": cfg.n_layers,
               "dim": cfg.dim, "tau": _TAU}
     _emit_partial({"trained_ckpt": detail["checkpoint"]})
 
-    N_LO, N_HI = 8, 40
-
-    def decode_fn(impl, n):
-        def decode(w, tok0, effort):
-            kc, vc = make_kv_cache(cfg)
-
-            def step(carry, pos):
-                tok, kc, vc = carry
-                logits, kc, vc = forward_token(
-                    w, cfg, tok, pos, kc, vc, effort=effort, impl=impl)
-                tok = jnp.argmax(logits).astype(jnp.int32)
-                return (tok, kc, vc), tok
-            (_, _, _), toks = jax.lax.scan(
-                step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
-            return toks
-        return jax.jit(decode)
-
-    toks_src = iter(range(32, 126))
-
-    def per_token(impl):
-        f_lo, f_hi = decode_fn(impl, N_LO), decode_fn(impl, N_HI)
-        compiled = [False]
-
-        def t_of(effort):
-            e = jnp.float32(effort)
-            if not compiled[0]:
-                jax.device_get(f_lo(w, jnp.int32(next(toks_src)), e))
-                jax.device_get(f_hi(w, jnp.int32(next(toks_src)), e))
-                compiled[0] = True
-
-            def t(f):
-                t0 = time.perf_counter()
-                jax.device_get(f(w, jnp.int32(next(toks_src)), e))
-                return time.perf_counter() - t0
-            t(f_lo)
-            lo = min(t(f_lo) for _ in range(3))
-            hi = min(t(f_hi) for _ in range(3))
-            return (hi - lo) / (N_HI - N_LO)
-        return t_of
-
-    t_dense = per_token("dense")(1.0)
-    detail["dense_ms_per_tok"] = round(t_dense * 1e3, 3)
-    detail["dense_toks_per_s"] = round(1.0 / t_dense, 1)
-    _emit_partial({"trained_dense_toks_per_s": detail["dense_toks_per_s"]})
-
-    pt = per_token("pallas")
     efforts = (1.0, 0.5, 0.35, 0.25)
-    for e in efforts:
-        te = pt(e)
-        tag = int(e * 100)
-        detail[f"toks_per_s_{tag}"] = round(1.0 / te, 1)
-        detail[f"speedup_vs_dense_{tag}"] = round(t_dense / te, 3)
-        _emit_partial({f"trained_toks_per_s_{tag}":
-                       detail[f"toks_per_s_{tag}"],
-                       f"trained_speedup_{tag}":
-                       detail[f"speedup_vs_dense_{tag}"]})
+    speed = decode_speed_sweep(w, cfg, efforts=efforts)
+    detail.update(speed)
+    _emit_partial({f"trained_{k}": v for k, v in speed.items()})
 
-    # agreement vs its own effort=1.0 decode, teacher-forced over the
-    # full-effort continuation (same mechanism as the published
-    # QUALITY_trained.md sweeps, benchmark.swift:128-156 analog)
-    agr = _tf_agreement(cfg, w, decode_fn("pallas", N_HI), N_HI,
-                        (0.25, 0.35, 0.5))
-    for e in (0.25, 0.35, 0.5):
-        detail[f"agreement_{int(e*100)}"] = round(agr[e]["agree"], 3)
-    _emit_partial({"trained_agreement_25": detail["agreement_25"],
-                   "trained_agreement_50": detail["agreement_50"]})
-
-    # measured streamed-chunk fraction on REAL activations: collect the
-    # residual stream over holdout text, then replicate the kernel
-    # prologue (cutoff -> selection -> tau coverage bound) host-side for
-    # the FFN up-projection — the matrix where the streaming bytes live
+    # agreement vs effort=1.0, teacher-forced over REAL held-out text
+    # (the published QUALITY_trained.md protocol; a generated
+    # continuation from a bare token collapses to a trivial repeating
+    # pattern on byte LMs and reports agreement 1.0 at any effort)
     corpus_path = os.path.join(os.path.dirname(ckpt), "corpus.npy")
     if os.path.exists(corpus_path):
         corpus = np.load(corpus_path)
         split = int(len(corpus) * 0.98)
-        hold = jnp.asarray(corpus[split:split + 48].astype(int),
-                           jnp.int32)
+        hold = corpus[split:].astype(int).tolist()
+        eng = Engine(w, cfg, impl="auto", dynamic_effort=True, eos_id=-1)
+        agr = tf_agreement_sweep(eng, hold[:500],
+                                 efforts=(0.5, 0.35, 0.25))
+        for e, v in agr.items():
+            detail[f"agreement_{int(e*100)}"] = round(v, 3)
+        _emit_partial({"trained_agreement_25": detail["agreement_25"],
+                       "trained_agreement_50": detail["agreement_50"]})
 
-        @jax.jit
-        def collect(w, toks):
-            kc, vc = make_kv_cache(cfg)
-
-            def one(carry, tp):
-                kc, vc = carry
-                tok, pos = tp
-                _, kc, vc, hl = forward_token(
-                    w, cfg, tok, pos, kc, vc, effort=1.0, impl="jnp",
-                    collect_h=True)
-                return (kc, vc), hl
-            n = toks.shape[0]
-            (_, _), H = jax.lax.scan(
-                one, (kc, vc), (toks, jnp.arange(n, dtype=jnp.int32)))
-            return H                                  # [T, L, dim]
-
-        from effort_tpu.models.transformer import rms_norm
-        H = np.asarray(collect(w, hold))
-        bm = w.layers.any_w1
-        nc, G = bm.n_chunks, bm.chunk_rows
-
-        def stream_frac(v, e, inst):
-            vp = np.asarray(bm.permute_v(jnp.asarray(v, jnp.float32),
-                                         inst))
-            cutoff = float(compute_cutoff(
-                strided_sample(jnp.asarray(vp), bm.in_dim,
-                               bm.probes.shape[1]),
-                bm.probes[inst], e))
-            stat = np.asarray(bm.stats[inst][:, 0])
-            score = stat * np.abs(vp)
-            sel = score > cutoff
-            mass = np.where(sel, score, 0.0).reshape(nc, G).sum(1)
-            cum = np.cumsum(mass)
-            C = min(int(np.searchsorted(cum, _TAU * cum[-1]) + 1), nc)
-            return C / nc, float(sel.mean())
-
-        # input residual to layer li is H[..., li-1, :]; the attention
-        # delta inside layer li is neglected (diagnostic estimate only)
-        layers = sorted({1, cfg.n_layers // 2, cfg.n_layers - 1})
-        tok_ids = range(len(H) - 8, len(H))
-        for e in efforts[1:]:
-            fr, se = [], []
-            for li in layers:
-                for t in tok_ids:
-                    hn = np.asarray(rms_norm(
-                        jnp.asarray(H[t][li - 1], jnp.float32),
-                        w.layers.ffn_norm[li], cfg.norm_eps))
-                    f, s = stream_frac(hn, e, li)
-                    fr.append(f)
-                    se.append(s)
-            tag = int(e * 100)
-            detail[f"streamed_chunk_frac_{tag}"] = round(
-                float(np.mean(fr)), 4)
-            detail[f"selected_row_frac_{tag}"] = round(
-                float(np.mean(se)), 4)
+        # measured streamed-chunk fraction on the same real text: the
+        # mechanistic link from profile concentration to the speedup
+        detail.update(streamed_fraction(w, cfg, hold[:48],
+                                        efforts=efforts[1:]))
         _emit_partial({"trained_streamed_chunk_frac_25":
                        detail.get("streamed_chunk_frac_25")})
 
@@ -1054,9 +951,15 @@ def phase_longctx():
         xla = lambda q, k, v: _attention_seq(q, k, v, slots, 0, cfg)  # noqa: E731
 
         q0 = jax.random.normal(jax.random.key(3), (T, H * D), jnp.float32)
-        ref = np.asarray(jax.jit(xla)(q0, kc, vc))
-        out = np.asarray(jax.jit(flash)(q0, kc, vc))
+        ref = np.asarray(jax.jit(xla)(q0, kc, vc), np.float64)
+        out = np.asarray(jax.jit(flash)(q0, kc, vc), np.float64)
         rel = float(np.abs(ref - out).max() / (np.abs(ref).std() + 1e-30))
+        # max-err/std alone mischaracterized the kernel (VERDICT r3 weak
+        # #4): report the distribution-level metrics beside it
+        mean_rel = float(np.abs(ref - out).mean()
+                         / (np.abs(ref).mean() + 1e-30))
+        cos = float((ref * out).sum()
+                    / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-30))
 
         def mk(fn):
             def make(n):
@@ -1077,7 +980,9 @@ def phase_longctx():
         return {"t_xla_ms": round(t_x * 1e3, 3),
                 "t_flash_ms": round(t_f * 1e3, 3),
                 "flash_speedup_x": round(t_x / t_f, 3),
-                "rel_err_vs_xla": round(rel, 5)}
+                "rel_err_vs_xla": round(rel, 5),
+                "mean_rel_err": round(mean_rel, 6),
+                "cos_vs_xla": round(cos, 7)}
 
     for (T, S) in ((1024, 2048), (4096, 8192)):
         detail[f"prefill_{T}x{S}"] = measure_pair(T, S)

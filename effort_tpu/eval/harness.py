@@ -71,6 +71,27 @@ def agreement_sweep(engine, prompt_ids: Sequence[int], n_tokens: int = 100,
     return out
 
 
+def tf_agreement_sweep(engine, token_ids: Sequence[int],
+                       efforts: Optional[Sequence[float]] = None
+                       ) -> Dict[float, float]:
+    """Teacher-forced argmax agreement vs effort=1.0 over REAL text.
+
+    The reference's similarity benchmark runs over ~500-token real texts
+    (benchmark.swift:128-156, benchmarks/data/article.json);
+    agreement_sweep instead scores a model-generated continuation.
+    Feeding real held-out text removes the generation step and matches
+    the reference's protocol scale — use >= 500 token_ids for parity
+    (VERDICT r3 next #5)."""
+    efforts = list(efforts or effort_scale())
+    _, control = engine.prompt_logits(list(token_ids), effort=1.0)
+    out = {}
+    for e in efforts:
+        _, preds = engine.prompt_logits(list(token_ids), effort=e)
+        hits = sum(int(a == b) for a, b in zip(preds, control))
+        out[e] = hits / max(1, len(control))
+    return out
+
+
 def log_softmax(logits: np.ndarray) -> np.ndarray:
     x = np.asarray(logits, np.float64)
     x = x - x.max(axis=-1, keepdims=True)
@@ -147,3 +168,153 @@ def run_quiz(engine, quiz: List[dict], tokenizer,
 def load_quiz(path: str) -> List[dict]:
     with open(path) as f:
         return json.load(f)
+
+
+# --------------------------------------------------------------------------
+# speed + streamed-fraction probes (the same-checkpoint speed axis:
+# every published quality sweep can now carry its own decode timing —
+# the reference's README claim couples ryc0.2 speed to ryc0.4 agreement
+# on one Mistral-7B artifact)
+# --------------------------------------------------------------------------
+
+def decode_speed_sweep(w, cfg, efforts: Sequence[float] = (1.0, 0.5,
+                                                          0.35, 0.25),
+                       include_dense: bool = True, impl: str = "pallas",
+                       n_lo: int = 8, n_hi: int = 40) -> Dict:
+    """Per-token greedy-decode time per effort, by two-length scan slope
+    ((t[n_hi] - t[n_lo]) / (n_hi - n_lo): compile/launch/transfer
+    overheads cancel; min-of-3 per length). Returns
+    {"dense_toks_per_s", "toks_per_s_<e>", "speedup_vs_dense_<e>"}.
+    include_dense needs dense copies (load_dense/attach_dense/keep_dense).
+    """
+    import time as _time
+    from effort_tpu.models.transformer import forward_token, make_kv_cache
+
+    def decode_fn(impl_, n):
+        def decode(w, tok0, effort):
+            kc, vc = make_kv_cache(cfg)
+
+            def step(carry, pos):
+                tok, kc, vc = carry
+                logits, kc, vc = forward_token(
+                    w, cfg, tok, pos, kc, vc, effort=effort, impl=impl_)
+                return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
+            (tok, _, _), _ = jax.lax.scan(
+                step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
+            return tok
+        return jax.jit(decode)
+
+    toks_src = iter(range(2, 2 + 16 * (len(efforts) + 3) * 8))
+
+    def per_token(impl_):
+        f_lo, f_hi = decode_fn(impl_, n_lo), decode_fn(impl_, n_hi)
+        compiled = [False]
+
+        def t_of(effort):
+            e = jnp.float32(effort)
+            if not compiled[0]:
+                jax.device_get(f_lo(w, jnp.int32(next(toks_src)), e))
+                jax.device_get(f_hi(w, jnp.int32(next(toks_src)), e))
+                compiled[0] = True
+
+            def t(f):
+                t0 = _time.perf_counter()
+                jax.device_get(f(w, jnp.int32(next(toks_src)), e))
+                return _time.perf_counter() - t0
+            t(f_lo)
+            lo = min(t(f_lo) for _ in range(3))
+            hi = min(t(f_hi) for _ in range(3))
+            return (hi - lo) / (n_hi - n_lo)
+        return t_of
+
+    out = {}
+    t_dense = None
+    if include_dense:
+        t_dense = per_token("dense")(1.0)
+        out["dense_toks_per_s"] = round(1.0 / t_dense, 1)
+    pt = per_token(impl)
+    for e in efforts:
+        te = pt(e)
+        tag = int(e * 100)
+        out[f"toks_per_s_{tag}"] = round(1.0 / te, 1)
+        if t_dense is not None:
+            out[f"speedup_vs_dense_{tag}"] = round(t_dense / te, 3)
+    return out
+
+
+def streamed_fraction(w, cfg, token_ids: Sequence[int],
+                      efforts: Sequence[float] = (0.5, 0.35, 0.25),
+                      tau: Optional[float] = None,
+                      n_probe_tokens: int = 8) -> Dict:
+    """Measured streamed-chunk fraction of the FFN up-projection on REAL
+    activations: runs the model over token_ids, then replicates the
+    fused kernel's prologue host-side (cutoff -> rank selection -> tau
+    selected-mass coverage bound, kernels/fused_stream._prefix_len) on
+    the residual stream feeding each layer's FFN. This is the
+    mechanistic link between a checkpoint's activation-profile
+    concentration and its effort speedup: speedup ~ 1 / streamed_frac
+    for the streaming-bound matrices. The attention delta within the
+    probed layer is neglected (diagnostic estimate).
+
+    Returns {"streamed_chunk_frac_<e>", "selected_row_frac_<e>"}."""
+    from effort_tpu.kernels.fused_stream import _TAU
+    from effort_tpu.models.transformer import (forward_token,
+                                               make_kv_cache, rms_norm)
+    from effort_tpu.ops.effort import compute_cutoff
+    from effort_tpu.ops.layouts import strided_sample
+
+    tau = _TAU if tau is None else tau
+    toks = jnp.asarray(list(token_ids), jnp.int32)
+
+    @jax.jit
+    def collect(w, toks):
+        kc, vc = make_kv_cache(cfg)
+
+        def one(carry, tp):
+            kc, vc = carry
+            tok, pos = tp
+            _, kc, vc, hl = forward_token(w, cfg, tok, pos, kc, vc,
+                                          effort=1.0, impl="jnp",
+                                          collect_h=True)
+            return (kc, vc), hl
+        n = toks.shape[0]
+        (_, _), H = jax.lax.scan(one, (kc, vc),
+                                 (toks, jnp.arange(n, dtype=jnp.int32)))
+        return H                                          # [T, L, dim]
+
+    H = np.asarray(collect(w, toks))
+    bm = w.layers.any_w1
+    nc, G = bm.n_chunks, bm.chunk_rows
+
+    def frac_one(v, e, inst):
+        vp = np.asarray(bm.permute_v(jnp.asarray(v, jnp.float32), inst))
+        cutoff = float(compute_cutoff(
+            strided_sample(jnp.asarray(vp), bm.in_dim,
+                           bm.probes.shape[1]), bm.probes[inst], e))
+        stat = np.asarray(bm.stats[inst][:, 0])
+        score = stat * np.abs(vp)
+        sel = score > cutoff
+        mass = np.where(sel, score, 0.0).reshape(nc, G).sum(1)
+        cum = np.cumsum(mass)
+        C = min(int(np.searchsorted(cum, tau * cum[-1]) + 1), nc)
+        return C / nc, float(sel.mean())
+
+    layers = sorted({li for li in (1, cfg.n_layers // 2,
+                                   cfg.n_layers - 1) if li >= 1})
+    tok_ids = range(max(0, len(H) - n_probe_tokens), len(H))
+    out = {"tau": tau}
+    for e in efforts:
+        fr, se = [], []
+        for li in layers:
+            for t in tok_ids:
+                hn = np.asarray(rms_norm(
+                    jnp.asarray(H[t][li - 1], jnp.float32),
+                    w.layers.ffn_norm[li], cfg.norm_eps))
+                f, s = frac_one(hn, e, li)
+                fr.append(f)
+                se.append(s)
+        out[f"streamed_chunk_frac_{int(e*100)}"] = round(
+            float(np.mean(fr)), 4)
+        out[f"selected_row_frac_{int(e*100)}"] = round(
+            float(np.mean(se)), 4)
+    return out

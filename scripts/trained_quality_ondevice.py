@@ -80,6 +80,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--dir", default=None)
+    ap.add_argument("--export", action="store_true",
+                    help="persist the trained params as hf/ safetensors "
+                    "(~4 bytes/param through the tunnel)")
     args = ap.parse_args()
     size = os.environ.get("TQ_SIZE", "medium")
     sz = SIZES[size]
@@ -120,6 +123,15 @@ def main():
     json.dump({"steps": steps, "history": hist, "seconds": train_s},
               open(f"{d}/train_history.json", "w"))
 
+    if args.export:
+        # persist the trained checkpoint (round 3 didn't, so the 310M
+        # with published agreement had no speed-measurable artifact —
+        # VERDICT r3 missing #2); convert to buckets afterwards on CPU:
+        #   python scripts/trained_quality.py --stage convert --cpu ...
+        from effort_tpu.train import export_hf
+        t0 = time.time()
+        export_hf(params, cfg, f"{d}/hf")
+        print(f"exported hf/ in {time.time()-t0:.0f}s", flush=True)
     raw = params_to_raw(params, cfg)
     del params
 
@@ -132,6 +144,8 @@ def main():
             for s in rng.integers(0, len(corpus) - 200, 4)]
     rms = collect_act_rms(w_uncal, cfg, seqs, impl="auto")
     del w_uncal
+    np.savez(f"{d}/calib.npz", **{k: np.asarray(v)
+                                  for k, v in rms.items()})
     prof = {"rms_m": profile_stats(rms["rms_m"]),
             "rms_f": profile_stats(rms["rms_f"])}
     json.dump(prof, open(f"{d}/calib_profile.json", "w"), indent=1)
@@ -140,12 +154,17 @@ def main():
     # ---- calibrated baked assemble + eval per dtype ----
     split = int(len(corpus) * 0.98)
     hold = corpus[split:].astype(int).tolist()
+    article = json.load(open(
+        f"{ROOT}/effort_tpu/eval/data/article.json"))["body"]
+    art_ids = list(article.encode())[:512]
     results = {}
     for dtype in ("bf16", "int8"):
         t0 = time.time()
         b = dataclasses.replace(bcfg, dtype=dtype)
+        # dense copies stay on device: the speed sweep's baseline
         w = assemble_weights(raw, cfg, b, rms_m=rms["rms_m"],
-                             rms_f=rms["rms_f"], bake=True)
+                             rms_f=rms["rms_f"], bake=True,
+                             keep_dense=(dtype == "bf16"))
         jax.block_until_ready(jax.tree_util.tree_leaves(w)[0])
         print(f"[{dtype}] assembled {time.time()-t0:.0f}s", flush=True)
         eng = Engine(w, cfg, impl="auto", dynamic_effort=True, eos_id=-1)
@@ -156,12 +175,28 @@ def main():
         print(f"[{dtype}] agreement done {time.time()-t0:.0f}s: " +
               " ".join(f"{e:.2f}:{v:.3f}"
                        for e, v in r["agreement"].items()), flush=True)
+        # 500-token REAL-TEXT teacher-forced protocol (the reference's
+        # benchmark scale, benchmark.swift:128-156; VERDICT r3 next #5)
+        r["tf_agreement_article500"] = harness.tf_agreement_sweep(
+            eng, art_ids, efforts=EFFORTS)
+        print(f"[{dtype}] article500 done {time.time()-t0:.0f}s: " +
+              " ".join(f"{e:.2f}:{v:.3f}" for e, v in
+                       r["tf_agreement_article500"].items()), flush=True)
         r["nll"] = harness.nll_sweep(eng, hold[1000:2024], efforts=EFFORTS)
         print(f"[{dtype}] nll done {time.time()-t0:.0f}s", flush=True)
         r["recall"] = recall_sweep(eng, facts, EFFORTS)
         print(f"[{dtype}] recall done {time.time()-t0:.0f}s: " +
               " ".join(f"{e:.2f}:{v:.3f}"
                        for e, v in r["recall"].items()), flush=True)
+        if dtype == "bf16":
+            # speed + streamed fraction on the SAME checkpoint the
+            # quality rows above were measured on (VERDICT r3 next #2)
+            r["speed"] = harness.decode_speed_sweep(
+                w, cfg, efforts=(1.0, 0.5, 0.35, 0.25))
+            r["speed"].update(harness.streamed_fraction(
+                w, cfg, hold[:48], efforts=(0.5, 0.35, 0.25)))
+            print(f"[{dtype}] speed done {time.time()-t0:.0f}s: "
+                  f"{r['speed']}", flush=True)
         results[dtype] = r
         del w, eng
         json.dump(results, open(f"{d}/eval.json", "w"), indent=1,

@@ -1,0 +1,445 @@
+"""Word-level LM at Mistral matrix widths — the concentrated-activation
+experiment (VERDICT r3 next #3, the flagship-claim closer).
+
+Round 3's trained byte-LMs (90M/310M) have FLAT activation profiles
+(top-25% dims carry ~28% of mass), so the coverage-bound kernel streams
+~every chunk and effort gives no trained-checkpoint speedup — while the
+2.25x headline lives on synthetic outlier-imprinted weights. The two
+known levers for real activation concentration (LLM.int8-style
+persistent outlier dims) are tokenization and scale: word/BPE-token LMs
+develop outlier dims far earlier than byte LMs, and the streaming win
+grows with matrix width. This experiment moves BOTH levers at once while
+staying trainable on one chip:
+
+  - word-level vocab (8192: 256 byte-fallback ids + top word pieces) on
+    ~60 MB of local code/prose — a heavy Zipf distribution, the
+    frequency skew outlier emergence feeds on;
+  - Mistral's exact matrix shapes (dim 4096, hidden 14336, GQA 32/8
+    heads) at 2 layers: ~500M params, the same w1/wqkv shapes as the
+    synthetic speed headline, so kernel speedups transfer 1:1.
+
+Pipeline (stages resumable, artifacts under runs/trained_quality_wordlm):
+  corpus  -> vocab.json + corpus.npy (word ids)
+  train   -> effort_tpu.train on TPU; hf/ safetensors export
+  analyze -> on-device: uncal assemble -> activation calibration ->
+             concentration profile -> calibrated bake -> agreement/NLL
+             sweeps (incl. 500-token teacher-forced real-text protocol,
+             benchmark.swift:128-156 scale) -> decode speed + streamed
+             fraction per effort (speed and quality on ONE model)
+  convert -> CPU: hf/ -> ckpt_bf16 (production bucket checkpoint, picked
+             up by bench.py --phase trained)
+
+Usage: python scripts/trained_wordlm.py [--stage all|corpus|train|analyze|convert]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import re
+import sys
+import time
+from collections import Counter
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from scripts.trained_quality_ondevice import params_to_raw, profile_stats
+
+D = f"{ROOT}/runs/trained_quality_wordlm"
+VOCAB = 8192
+N_BYTE = 256                # ids 0..255: utf-8 byte fallback
+EFFORTS = [1.0, 0.8, 0.6, 0.5, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15]
+
+_PIECE = re.compile(r" ?[A-Za-z_']+| ?[0-9]+|[ \t]*\n[ \t]*|[ \t]+|[^\sA-Za-z0-9_']")
+
+
+def model_cfg():
+    from effort_tpu.config import ModelConfig
+    return ModelConfig(name="wordlm-500m", dim=4096, hidden_dim=14336,
+                       n_layers=2, n_heads=32, n_kv_heads=8, head_dim=128,
+                       vocab_size=VOCAB, max_seq_len=2048, rope_theta=1e6)
+
+
+# --------------------------------------------------------------------------
+# corpus / tokenizer
+# --------------------------------------------------------------------------
+
+def _local_text(target_mb: float = 60.0) -> str:
+    paths = []
+    for pat in (f"{ROOT}/effort_tpu/**/*.py", f"{ROOT}/tests/*.py",
+                f"{ROOT}/scripts/*.py", f"{ROOT}/docs/*.md",
+                f"{ROOT}/*.md"):
+        paths += sorted(glob.glob(pat, recursive=True))
+    import site
+    import sysconfig
+    stdlib = sysconfig.get_paths()["stdlib"]
+    paths += sorted(glob.glob(f"{stdlib}/**/*.py", recursive=True))
+    sp = site.getsitepackages()[0]
+    paths += sorted(glob.glob(f"{sp}/**/*.py", recursive=True))
+    chunks, total = [], 0
+    for p in paths:
+        try:
+            b = open(p, "rb").read()
+        except OSError:
+            continue
+        chunks.append(b.decode("utf-8", errors="ignore"))
+        total += len(b)
+        if total >= target_mb * 1e6:
+            break
+    return "".join(chunks)
+
+
+def encode(text: str, word_ids: dict) -> np.ndarray:
+    out = []
+    for piece in _PIECE.findall(text):
+        i = word_ids.get(piece)
+        if i is not None:
+            out.append(i)
+        else:
+            out.extend(piece.encode("utf-8", errors="ignore"))
+    return np.asarray(out, np.int32)
+
+
+def decode_ids(ids, words: list) -> str:
+    frags, byte_run = [], []
+    for i in ids:
+        i = int(i)
+        if i < N_BYTE:
+            byte_run.append(i)
+        else:
+            if byte_run:
+                frags.append(bytes(byte_run).decode("utf-8",
+                                                    errors="replace"))
+                byte_run = []
+            frags.append(words[i - N_BYTE] if i - N_BYTE < len(words)
+                         else "")
+    if byte_run:
+        frags.append(bytes(byte_run).decode("utf-8", errors="replace"))
+    return "".join(frags)
+
+
+def stage_corpus():
+    os.makedirs(D, exist_ok=True)
+    t0 = time.time()
+    text = _local_text()
+    counts = Counter(_PIECE.findall(text))
+    words = [w for w, _ in counts.most_common(VOCAB - N_BYTE)]
+    word_ids = {w: N_BYTE + i for i, w in enumerate(words)}
+    ids = encode(text, word_ids)
+    np.save(f"{D}/corpus.npy", ids)
+    json.dump(words, open(f"{D}/vocab.json", "w"))
+    cov = sum(c for w, c in counts.items() if w in word_ids) / max(
+        1, sum(counts.values()))
+    print(f"corpus: {len(text)/1e6:.1f} MB text -> {len(ids)/1e6:.1f}M "
+          f"tokens, vocab {VOCAB} covers {cov:.1%} of pieces "
+          f"({time.time()-t0:.0f}s)")
+
+
+# --------------------------------------------------------------------------
+# train
+# --------------------------------------------------------------------------
+
+def stage_train(steps: int):
+    from effort_tpu.train import TrainConfig, export_hf, train
+    cfg = model_cfg()
+    corpus = np.load(f"{D}/corpus.npy")
+    # batch 16 (not 32): the remat'd [B, KV, rep, T, T] score tensor at
+    # dim-4096 geometry is 4.3 GB at B=16 — B=32's 8.6 GB next to the
+    # 8 GB f32 params+AdamW state OOMs the 16 GB chip
+    tcfg = TrainConfig(batch=16, seq_len=512, steps=steps, lr=3e-4,
+                       warmup=min(200, steps // 10), scan_chunk=25,
+                       holdout_frac=0.02)
+    t0 = time.time()
+    params, hist = train(cfg, corpus, tcfg)
+    train_s = time.time() - t0
+    print(f"trained {steps} steps in {train_s:.0f}s; final train "
+          f"{hist[-1][1]:.3f} holdout {hist[-1][2]:.3f} nats/token",
+          flush=True)
+    json.dump({"steps": steps, "history": hist, "seconds": train_s},
+              open(f"{D}/train_history.json", "w"))
+    t0 = time.time()
+    export_hf(params, cfg, f"{D}/hf")
+    print(f"exported hf/ in {time.time()-t0:.0f}s", flush=True)
+    return params
+
+
+# --------------------------------------------------------------------------
+# analyze (on-device: profile + quality + speed on ONE model)
+# --------------------------------------------------------------------------
+
+def _load_params_from_hf():
+    """Reload the trained params (hf/ safetensors) as the trainer pytree.
+    Used when analyze runs in a fresh process; `--stage all` passes the
+    in-memory params straight through instead (5 min of tunnel saved)."""
+    from effort_tpu.runtime.safetensors_io import MultiShardReader
+    cfg = model_cfg()
+    r = MultiShardReader(f"{D}/hf")
+    L = cfg.n_layers
+
+    def stack(fmt):
+        return np.stack([r[fmt.format(l=l)] for l in range(L)])
+
+    return {
+        "embed": r["model.embed_tokens.weight"],
+        "norm": r["model.norm.weight"],
+        "lm_head": r["lm_head.weight"],
+        "layers": {
+            "attn_norm": stack("model.layers.{l}.input_layernorm.weight"),
+            "ffn_norm": stack(
+                "model.layers.{l}.post_attention_layernorm.weight"),
+            "wq": stack("model.layers.{l}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{l}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{l}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{l}.self_attn.o_proj.weight"),
+            "w1": stack("model.layers.{l}.mlp.gate_proj.weight"),
+            "w2": stack("model.layers.{l}.mlp.down_proj.weight"),
+            "w3": stack("model.layers.{l}.mlp.up_proj.weight"),
+        },
+    }
+
+
+def stage_analyze(params=None):
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.convert.calibrate import collect_act_rms
+    from effort_tpu.eval import harness
+    from effort_tpu.models.generate import Engine
+    from effort_tpu.models.transformer import (assemble_weights,
+                                               forward_token,
+                                               make_kv_cache)
+    from effort_tpu.ops.effort import compute_cutoff
+    from effort_tpu.ops.layouts import strided_sample
+    from effort_tpu.kernels.fused_stream import _TAU
+
+    cfg = model_cfg()
+    corpus = np.load(f"{D}/corpus.npy")
+    if params is None:
+        t0 = time.time()
+        params = _load_params_from_hf()
+        print(f"reloaded hf params ({time.time()-t0:.0f}s)", flush=True)
+    raw = params_to_raw(
+        {"embed": jnp.asarray(params["embed"]),
+         "norm": jnp.asarray(params["norm"]),
+         "lm_head": jnp.asarray(params["lm_head"]),
+         "layers": {k: jnp.asarray(v)
+                    for k, v in params["layers"].items()}}, cfg)
+    del params
+
+    # ---- calibration + concentration profile (the experiment's key
+    # readout: does a word LM at Mistral widths concentrate?) ----
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
+    w_uncal = assemble_weights(raw, cfg, bcfg)
+    rng = np.random.default_rng(3)
+    seqs = [corpus[s:s + 192].astype(int).tolist()
+            for s in rng.integers(0, len(corpus) - 200, 4)]
+    rms = collect_act_rms(w_uncal, cfg, seqs, impl="auto")
+    del w_uncal
+    prof = {"rms_m": profile_stats(rms["rms_m"]),
+            "rms_f": profile_stats(rms["rms_f"])}
+    json.dump(prof, open(f"{D}/calib_profile.json", "w"), indent=1)
+    np.savez(f"{D}/calib.npz", **{k: np.asarray(v)
+                                  for k, v in rms.items()})
+    print(f"profile: {prof}", flush=True)
+
+    # ---- calibrated bake, dense copies kept ON DEVICE for the speed
+    # baseline (no tunnel upload) ----
+    w = assemble_weights(raw, cfg, bcfg, rms_m=rms["rms_m"],
+                         rms_f=rms["rms_f"], bake=True, keep_dense=True)
+    jax.block_until_ready(jax.tree_util.tree_leaves(w)[0])
+    del raw
+
+    split = int(len(corpus) * 0.98)
+    hold = corpus[split:].astype(int).tolist()
+    out = {}
+
+    # ---- quality sweeps (production Engine, traced effort) ----
+    eng = Engine(w, cfg, impl="auto", dynamic_effort=True, eos_id=-1)
+    t0 = time.time()
+    out["agreement"] = harness.agreement_sweep(eng, hold[:128],
+                                               n_tokens=128,
+                                               efforts=EFFORTS)
+    print(f"agreement {time.time()-t0:.0f}s: " + " ".join(
+        f"{e:.2f}:{v:.3f}" for e, v in out["agreement"].items()),
+        flush=True)
+    # 500-token real-text teacher-forced protocol (reference scale,
+    # benchmark.swift:128-156; VERDICT r3 next #5)
+    out["tf_agreement_500"] = harness.tf_agreement_sweep(
+        eng, hold[1000:1500], efforts=EFFORTS)
+    print("tf500: " + " ".join(
+        f"{e:.2f}:{v:.3f}" for e, v in out["tf_agreement_500"].items()),
+        flush=True)
+    out["nll"] = harness.nll_sweep(eng, hold[2000:3024], efforts=EFFORTS)
+    json.dump(out, open(f"{D}/eval.json", "w"), indent=1, default=float)
+
+    # ---- decode speed per effort vs dense, SAME weights ----
+    N_LO, N_HI = 8, 40
+
+    def decode_fn(impl, n):
+        def decode(w, tok0, effort):
+            kc, vc = make_kv_cache(cfg)
+
+            def step(carry, pos):
+                tok, kc, vc = carry
+                logits, kc, vc = forward_token(
+                    w, cfg, tok, pos, kc, vc, effort=effort, impl=impl)
+                return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
+            (tok, _, _), _ = jax.lax.scan(
+                step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
+            return tok
+        return jax.jit(decode)
+
+    toks_src = iter(range(300, 700))
+
+    def per_token(impl):
+        f_lo, f_hi = decode_fn(impl, N_LO), decode_fn(impl, N_HI)
+        compiled = [False]
+
+        def t_of(effort):
+            e = jnp.float32(effort)
+            if not compiled[0]:
+                jax.device_get(f_lo(w, jnp.int32(next(toks_src)), e))
+                jax.device_get(f_hi(w, jnp.int32(next(toks_src)), e))
+                compiled[0] = True
+
+            def t(f):
+                t0 = time.perf_counter()
+                jax.device_get(f(w, jnp.int32(next(toks_src)), e))
+                return time.perf_counter() - t0
+            t(f_lo)
+            lo = min(t(f_lo) for _ in range(3))
+            hi = min(t(f_hi) for _ in range(3))
+            return (hi - lo) / (N_HI - N_LO)
+        return t_of
+
+    speed = {"tau": _TAU}
+    t_dense = per_token("dense")(1.0)
+    speed["dense_toks_per_s"] = round(1 / t_dense, 1)
+    print(f"dense: {speed['dense_toks_per_s']} tok/s", flush=True)
+    pt = per_token("pallas")
+    for e in (1.0, 0.5, 0.35, 0.25):
+        te = pt(e)
+        speed[f"toks_per_s_{int(e*100)}"] = round(1 / te, 1)
+        speed[f"speedup_vs_dense_{int(e*100)}"] = round(t_dense / te, 3)
+        print(f"effort {e}: {1/te:.0f} tok/s "
+              f"({t_dense/te:.2f}x dense)", flush=True)
+
+    # ---- streamed-chunk fraction on real activations (kernel-prologue
+    # replica; ties the speedup to the measured concentration) ----
+    from effort_tpu.models.transformer import rms_norm
+    hold_j = jnp.asarray(hold[:48], jnp.int32)
+
+    @jax.jit
+    def collect(w, toks):
+        kc, vc = make_kv_cache(cfg)
+
+        def one(carry, tp):
+            kc, vc = carry
+            tok, pos = tp
+            _, kc, vc, hl = forward_token(w, cfg, tok, pos, kc, vc,
+                                          effort=1.0, impl="jnp",
+                                          collect_h=True)
+            return (kc, vc), hl
+        n = toks.shape[0]
+        (_, _), H = jax.lax.scan(one, (kc, vc),
+                                 (toks, jnp.arange(n, dtype=jnp.int32)))
+        return H
+
+    H = np.asarray(collect(w, hold_j))
+    bm = w.layers.any_w1
+    nc, G = bm.n_chunks, bm.chunk_rows
+
+    def stream_frac(v, e, inst):
+        vp = np.asarray(bm.permute_v(jnp.asarray(v, jnp.float32), inst))
+        cutoff = float(compute_cutoff(
+            strided_sample(jnp.asarray(vp), bm.in_dim,
+                           bm.probes.shape[1]), bm.probes[inst], e))
+        stat = np.asarray(bm.stats[inst][:, 0])
+        score = stat * np.abs(vp)
+        sel = score > cutoff
+        mass = np.where(sel, score, 0.0).reshape(nc, G).sum(1)
+        cum = np.cumsum(mass)
+        C = min(int(np.searchsorted(cum, _TAU * cum[-1]) + 1), nc)
+        return C / nc, float(sel.mean())
+
+    for e in (0.5, 0.35, 0.25):
+        fr, se = [], []
+        for li in range(1, cfg.n_layers):
+            for t in range(len(H) - 8, len(H)):
+                hn = np.asarray(rms_norm(
+                    jnp.asarray(H[t][li - 1], jnp.float32),
+                    w.layers.ffn_norm[li], cfg.norm_eps))
+                f, s = stream_frac(hn, e, li)
+                fr.append(f)
+                se.append(s)
+        speed[f"streamed_chunk_frac_{int(e*100)}"] = round(
+            float(np.mean(fr)), 4)
+        speed[f"selected_row_frac_{int(e*100)}"] = round(
+            float(np.mean(se)), 4)
+    json.dump(speed, open(f"{D}/speed.json", "w"), indent=1)
+    print(f"speed: {speed}", flush=True)
+
+    # mirror the key artifacts where the published curves live
+    os.makedirs(f"{ROOT}/artifacts/quality", exist_ok=True)
+    for src, dst in (("calib_profile.json",
+                      "calib_profile_wordlm500m.json"),
+                     ("eval.json", "eval_wordlm500m.json"),
+                     ("speed.json", "speed_wordlm500m.json")):
+        if os.path.exists(f"{D}/{src}"):
+            json.dump(json.load(open(f"{D}/{src}")),
+                      open(f"{ROOT}/artifacts/quality/{dst}", "w"),
+                      indent=1)
+
+
+# --------------------------------------------------------------------------
+# convert (CPU) -> production bucket checkpoint for bench.py --phase trained
+# --------------------------------------------------------------------------
+
+def stage_convert():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from effort_tpu.config import BucketConfig
+    from effort_tpu.convert.convert import convert_checkpoint
+    cfg = model_cfg()
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
+    dst = f"{D}/ckpt_bf16"
+    if os.path.exists(f"{dst}/config.json"):
+        print(f"{dst}: exists, skipping")
+        return
+    t0 = time.time()
+    convert_checkpoint(f"{D}/hf", dst, cfg, bcfg,
+                       calib=f"{D}/calib.npz", store_core=False,
+                       progress=lambda *a: None)
+    print(f"converted {dst} in {time.time()-t0:.0f}s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all")
+    ap.add_argument("--steps", type=int, default=3500)
+    args = ap.parse_args()
+    if args.stage == "all":
+        if not os.path.exists(f"{D}/corpus.npy"):
+            stage_corpus()
+        params = stage_train(args.steps)
+        stage_analyze(params)
+    elif args.stage == "corpus":
+        stage_corpus()
+    elif args.stage == "train":
+        stage_train(args.steps)
+    elif args.stage == "analyze":
+        stage_analyze()
+    elif args.stage == "convert":
+        stage_convert()
+    else:
+        raise SystemExit(f"unknown stage {args.stage}")
+
+
+if __name__ == "__main__":
+    main()
