@@ -283,10 +283,9 @@ def streamed_fraction(w, cfg, token_ids: Sequence[int],
         return H                                          # [T, L, dim]
 
     H = np.asarray(collect(w, toks))
-    bm = w.layers.any_w1
-    nc, G = bm.n_chunks, bm.chunk_rows
 
-    def frac_one(v, e, inst):
+    def frac_one(bm, v, e, inst):
+        nc, G = bm.n_chunks, bm.chunk_rows
         vp = np.asarray(bm.permute_v(jnp.asarray(v, jnp.float32), inst))
         cutoff = float(compute_cutoff(
             strided_sample(jnp.asarray(vp), bm.in_dim,
@@ -299,22 +298,44 @@ def streamed_fraction(w, cfg, token_ids: Sequence[int],
         C = min(int(np.searchsorted(cum, tau * cum[-1]) + 1), nc)
         return C / nc, float(sel.mean())
 
+    from effort_tpu.ops.bucketmul import bucket_matvec
     layers = sorted({li for li in (1, cfg.n_layers // 2,
                                    cfg.n_layers - 1) if li >= 1})
     tok_ids = range(max(0, len(H) - n_probe_tokens), len(H))
+    # probe the up-projection (residual-stream profile, rms_m) AND the
+    # down-projection (FFN-hidden profile, rms_f): concentration can
+    # live in either space — trained word LMs concentrate rms_f hardest
+    # (LLM.int8-style hidden outliers), so w2 streams shortest
+    bm1 = w.layers.any_w1
+    # w2 probing needs the unfused w1/w3 to build its input
+    bm2 = (w.layers.w2 if w.layers.w1 is not None
+           and w.layers.w3 is not None else None)
     out = {"tau": tau}
     for e in efforts:
-        fr, se = [], []
+        fr1, se1, fr2, se2 = [], [], [], []
         for li in layers:
             for t in tok_ids:
                 hn = np.asarray(rms_norm(
                     jnp.asarray(H[t][li - 1], jnp.float32),
                     w.layers.ffn_norm[li], cfg.norm_eps))
-                f, s = frac_one(hn, e, li)
-                fr.append(f)
-                se.append(s)
-        out[f"streamed_chunk_frac_{int(e*100)}"] = round(
-            float(np.mean(fr)), 4)
-        out[f"selected_row_frac_{int(e*100)}"] = round(
-            float(np.mean(se)), 4)
+                f, s = frac_one(bm1, hn, e, li)
+                fr1.append(f)
+                se1.append(s)
+                if bm2 is not None:
+                    x1 = bucket_matvec(w.layers.w1, jnp.asarray(hn), 1.0,
+                                       expert=li, impl="jnp")
+                    x3 = bucket_matvec(w.layers.w3, jnp.asarray(hn), 1.0,
+                                       expert=li, impl="jnp")
+                    h2 = np.asarray(jax.nn.silu(x1) * x3)
+                    f, s = frac_one(bm2, h2, e, li)
+                    fr2.append(f)
+                    se2.append(s)
+        tag = int(e * 100)
+        out[f"streamed_chunk_frac_{tag}"] = round(float(np.mean(fr1)), 4)
+        out[f"selected_row_frac_{tag}"] = round(float(np.mean(se1)), 4)
+        if fr2:
+            out[f"w2_streamed_chunk_frac_{tag}"] = round(
+                float(np.mean(fr2)), 4)
+            out[f"w2_selected_row_frac_{tag}"] = round(
+                float(np.mean(se2)), 4)
     return out

@@ -45,7 +45,10 @@ def main():
     def acts(seed):
         return rms_p * jax.random.normal(jax.random.key(seed), (IN,))
 
-    N_HI, REPS = 304, 3
+    # 5 reps (median inside chain_time): round 3's published sweep kept
+    # an impossible 57.9us e50_tau0.98 point (VERDICT r3 weak #2); wider
+    # reps plus the monotonicity re-measure below catch those
+    N_HI, REPS = 304, 5
 
     def mk_dense(n):
         @jax.jit
@@ -63,6 +66,7 @@ def main():
     run1 = jax.jit(mxu_matvec, static_argnames=("effort", "tau",
                                                 "tile_blocks", "slots"))
     for eff in EFFORTS:
+        t_floor = None            # lowest tau streams least: the floor
         for tau in TAUS:
             def mk(n, eff=eff, tau=tau):
                 @jax.jit
@@ -72,9 +76,24 @@ def main():
                                       v)
                     return jax.lax.fori_loop(0, n, body, v)
                 return run
-            t = chain_time(mk, 8, N_HI,
-                           [(acts(300 + i), bm) for i in range(12)],
-                           reps=REPS)
+
+            def measure(seed0):
+                return chain_time(mk, 8, N_HI,
+                                  [(acts(seed0 + i), bm)
+                                   for i in range(2 + 2 * REPS)],
+                                  reps=REPS)
+            t = measure(300)
+            flag = None
+            if t_floor is not None and t < 0.9 * t_floor:
+                # a higher tau streams a superset of chunks — it cannot
+                # beat the floor; re-measure once, flag if it persists
+                t2 = measure(700)
+                if t2 < 0.9 * t_floor:
+                    flag = "anomalous-fast (persists across re-measure)"
+                    t = max(t, t2)
+                else:
+                    t = t2
+            t_floor = t if t_floor is None else min(t_floor, t)
             cs = []
             for s in range(900, 912):
                 v = acts(s)
@@ -86,6 +105,8 @@ def main():
             out[key] = {"t_us": round(t * 1e6, 1),
                         "speedup_x": round(t_dense / t, 3),
                         "cos": round(float(np.mean(cs)), 5)}
+            if flag:
+                out[key]["flag"] = flag
             print(f"effort {eff} tau {tau}: {t*1e6:.1f} us "
                   f"({t_dense/t:.2f}x) cos {np.mean(cs):.5f}", flush=True)
     out["workload"] = ("w1 4096x14336 bf16, baked lognormal(1.2) "

@@ -149,10 +149,11 @@ def stage_train(steps: int):
     from effort_tpu.train import TrainConfig, export_hf, train
     cfg = model_cfg()
     corpus = np.load(f"{D}/corpus.npy")
-    # batch 16 (not 32): the remat'd [B, KV, rep, T, T] score tensor at
-    # dim-4096 geometry is 4.3 GB at B=16 — B=32's 8.6 GB next to the
-    # 8 GB f32 params+AdamW state OOMs the 16 GB chip
-    tcfg = TrainConfig(batch=16, seq_len=512, steps=steps, lr=3e-4,
+    # batch 8: at dim-4096 geometry the f32 params+AdamW+grads are
+    # already 8 GB; the remat'd [B, KV, rep, T, T] score tensor plus
+    # [B, T, hidden] FFN temporaries OOM the 16 GB chip at B>=16
+    # (measured: both 32 and 16 hit ResourceExhausted)
+    tcfg = TrainConfig(batch=8, seq_len=512, steps=steps, lr=3e-4,
                        warmup=min(200, steps // 10), scan_chunk=25,
                        holdout_frac=0.02)
     t0 = time.time()
@@ -407,16 +408,17 @@ def stage_convert():
     from effort_tpu.config import BucketConfig
     from effort_tpu.convert.convert import convert_checkpoint
     cfg = model_cfg()
-    bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
-    dst = f"{D}/ckpt_bf16"
-    if os.path.exists(f"{dst}/config.json"):
-        print(f"{dst}: exists, skipping")
-        return
-    t0 = time.time()
-    convert_checkpoint(f"{D}/hf", dst, cfg, bcfg,
-                       calib=f"{D}/calib.npz", store_core=False,
-                       progress=lambda *a: None)
-    print(f"converted {dst} in {time.time()-t0:.0f}s")
+    for dtype in ("bf16", "int8"):
+        bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype=dtype)
+        dst = f"{D}/ckpt_{dtype}"
+        if os.path.exists(f"{dst}/config.json"):
+            print(f"{dst}: exists, skipping")
+            continue
+        t0 = time.time()
+        convert_checkpoint(f"{D}/hf", dst, cfg, bcfg,
+                           calib=f"{D}/calib.npz", store_core=False,
+                           progress=lambda *a: None)
+        print(f"converted {dst} in {time.time()-t0:.0f}s")
 
 
 def main():
