@@ -151,6 +151,12 @@ SIZES = {
     "moe": dict(name="bytelm-moe4-120m", dim=768, hidden_dim=1536,
                 n_layers=6, steps=3000, corpus_mb=30.0,
                 n_experts=4, n_experts_per_tok=2, n_kv_heads=4),
+    # third scale point (VERDICT r3 next #8): turns the 90M->310M
+    # agreement-vs-scale trend into a 3-point curve. batch 8: the
+    # f32 params+AdamW state is ~10.5 GB; larger batches OOM the chip
+    # next to the remat'd score tensor.
+    "large": dict(name="bytelm-650m", dim=2048, hidden_dim=7168,
+                  n_layers=12, steps=4000, corpus_mb=60.0, batch=8),
 }
 _SIZE = os.environ.get("TQ_SIZE", "small")
 
@@ -171,7 +177,8 @@ def stage_train(d: str, steps: int, lr: float = 3e-4):
     from effort_tpu.train import TrainConfig, export_hf, train
     cfg = model_cfg()
     corpus = np.load(f"{d}/corpus.npy")
-    tcfg = TrainConfig(batch=32, seq_len=512, steps=steps, lr=lr,
+    tcfg = TrainConfig(batch=SIZES[_SIZE].get("batch", 32), seq_len=512,
+                       steps=steps, lr=lr,
                        warmup=min(200, steps // 10), scan_chunk=50,
                        holdout_frac=0.02)
     t0 = time.time()

@@ -112,7 +112,8 @@ def main():
     facts = json.load(open(f"{d}/facts.json"))
 
     # ---- train ----
-    tcfg = TrainConfig(batch=32, seq_len=512, steps=steps, lr=3e-4,
+    tcfg = TrainConfig(batch=sz.get("batch", 32), seq_len=512,
+                       steps=steps, lr=3e-4,
                        warmup=min(200, steps // 10), scan_chunk=50,
                        holdout_frac=0.02)
     t0 = time.time()

@@ -212,11 +212,7 @@ def stage_analyze(params=None):
     from effort_tpu.convert.calibrate import collect_act_rms
     from effort_tpu.eval import harness
     from effort_tpu.models.generate import Engine
-    from effort_tpu.models.transformer import (assemble_weights,
-                                               forward_token,
-                                               make_kv_cache)
-    from effort_tpu.ops.effort import compute_cutoff
-    from effort_tpu.ops.layouts import strided_sample
+    from effort_tpu.models.transformer import assemble_weights
     from effort_tpu.kernels.fused_stream import _TAU
 
     cfg = model_cfg()
@@ -279,110 +275,17 @@ def stage_analyze(params=None):
     out["nll"] = harness.nll_sweep(eng, hold[2000:3024], efforts=EFFORTS)
     json.dump(out, open(f"{D}/eval.json", "w"), indent=1, default=float)
 
-    # ---- decode speed per effort vs dense, SAME weights ----
-    N_LO, N_HI = 8, 40
-
-    def decode_fn(impl, n):
-        def decode(w, tok0, effort):
-            kc, vc = make_kv_cache(cfg)
-
-            def step(carry, pos):
-                tok, kc, vc = carry
-                logits, kc, vc = forward_token(
-                    w, cfg, tok, pos, kc, vc, effort=effort, impl=impl)
-                return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
-            (tok, _, _), _ = jax.lax.scan(
-                step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
-            return tok
-        return jax.jit(decode)
-
-    toks_src = iter(range(300, 700))
-
-    def per_token(impl):
-        f_lo, f_hi = decode_fn(impl, N_LO), decode_fn(impl, N_HI)
-        compiled = [False]
-
-        def t_of(effort):
-            e = jnp.float32(effort)
-            if not compiled[0]:
-                jax.device_get(f_lo(w, jnp.int32(next(toks_src)), e))
-                jax.device_get(f_hi(w, jnp.int32(next(toks_src)), e))
-                compiled[0] = True
-
-            def t(f):
-                t0 = time.perf_counter()
-                jax.device_get(f(w, jnp.int32(next(toks_src)), e))
-                return time.perf_counter() - t0
-            t(f_lo)
-            lo = min(t(f_lo) for _ in range(3))
-            hi = min(t(f_hi) for _ in range(3))
-            return (hi - lo) / (N_HI - N_LO)
-        return t_of
-
+    # ---- decode speed per effort vs dense + streamed-chunk fraction
+    # (shared harness probes: kernel-prologue replica ties the speedup
+    # to the measured concentration, w1 AND w2 spaces) ----
     speed = {"tau": _TAU}
-    t_dense = per_token("dense")(1.0)
-    speed["dense_toks_per_s"] = round(1 / t_dense, 1)
-    print(f"dense: {speed['dense_toks_per_s']} tok/s", flush=True)
-    pt = per_token("pallas")
-    for e in (1.0, 0.5, 0.35, 0.25):
-        te = pt(e)
-        speed[f"toks_per_s_{int(e*100)}"] = round(1 / te, 1)
-        speed[f"speedup_vs_dense_{int(e*100)}"] = round(t_dense / te, 3)
-        print(f"effort {e}: {1/te:.0f} tok/s "
-              f"({t_dense/te:.2f}x dense)", flush=True)
-
-    # ---- streamed-chunk fraction on real activations (kernel-prologue
-    # replica; ties the speedup to the measured concentration) ----
-    from effort_tpu.models.transformer import rms_norm
-    hold_j = jnp.asarray(hold[:48], jnp.int32)
-
-    @jax.jit
-    def collect(w, toks):
-        kc, vc = make_kv_cache(cfg)
-
-        def one(carry, tp):
-            kc, vc = carry
-            tok, pos = tp
-            _, kc, vc, hl = forward_token(w, cfg, tok, pos, kc, vc,
-                                          effort=1.0, impl="jnp",
-                                          collect_h=True)
-            return (kc, vc), hl
-        n = toks.shape[0]
-        (_, _), H = jax.lax.scan(one, (kc, vc),
-                                 (toks, jnp.arange(n, dtype=jnp.int32)))
-        return H
-
-    H = np.asarray(collect(w, hold_j))
-    bm = w.layers.any_w1
-    nc, G = bm.n_chunks, bm.chunk_rows
-
-    def stream_frac(v, e, inst):
-        vp = np.asarray(bm.permute_v(jnp.asarray(v, jnp.float32), inst))
-        cutoff = float(compute_cutoff(
-            strided_sample(jnp.asarray(vp), bm.in_dim,
-                           bm.probes.shape[1]), bm.probes[inst], e))
-        stat = np.asarray(bm.stats[inst][:, 0])
-        score = stat * np.abs(vp)
-        sel = score > cutoff
-        mass = np.where(sel, score, 0.0).reshape(nc, G).sum(1)
-        cum = np.cumsum(mass)
-        C = min(int(np.searchsorted(cum, _TAU * cum[-1]) + 1), nc)
-        return C / nc, float(sel.mean())
-
-    for e in (0.5, 0.35, 0.25):
-        fr, se = [], []
-        for li in range(1, cfg.n_layers):
-            for t in range(len(H) - 8, len(H)):
-                hn = np.asarray(rms_norm(
-                    jnp.asarray(H[t][li - 1], jnp.float32),
-                    w.layers.ffn_norm[li], cfg.norm_eps))
-                f, s = stream_frac(hn, e, li)
-                fr.append(f)
-                se.append(s)
-        speed[f"streamed_chunk_frac_{int(e*100)}"] = round(
-            float(np.mean(fr)), 4)
-        speed[f"selected_row_frac_{int(e*100)}"] = round(
-            float(np.mean(se)), 4)
+    speed.update(harness.decode_speed_sweep(
+        w, cfg, efforts=(1.0, 0.5, 0.35, 0.25)))
+    print(f"dense: {speed['dense_toks_per_s']} tok/s; "
+          f"@25%: {speed['toks_per_s_25']} "
+          f"({speed['speedup_vs_dense_25']}x)", flush=True)
+    speed.update(harness.streamed_fraction(w, cfg, hold[:48],
+                                           efforts=(0.5, 0.35, 0.25)))
     json.dump(speed, open(f"{D}/speed.json", "w"), indent=1)
     print(f"speed: {speed}", flush=True)
 
