@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--export", action="store_true",
                     help="persist the trained params as hf/ safetensors "
                     "(~4 bytes/param through the tunnel)")
+    ap.add_argument("--fast", action="store_true",
+                    help="bf16 only, skip the fact-recall sweep (the "
+                    "64-fact x 14-effort generate loop dominates the "
+                    "eval wall-clock at larger dims)")
     args = ap.parse_args()
     size = os.environ.get("TQ_SIZE", "medium")
     sz = SIZES[size]
@@ -159,7 +163,7 @@ def main():
         f"{ROOT}/effort_tpu/eval/data/article.json"))["body"]
     art_ids = list(article.encode())[:512]
     results = {}
-    for dtype in ("bf16", "int8"):
+    for dtype in (("bf16",) if args.fast else ("bf16", "int8")):
         t0 = time.time()
         b = dataclasses.replace(bcfg, dtype=dtype)
         # dense copies stay on device: the speed sweep's baseline
@@ -185,10 +189,11 @@ def main():
                        r["tf_agreement_article500"].items()), flush=True)
         r["nll"] = harness.nll_sweep(eng, hold[1000:2024], efforts=EFFORTS)
         print(f"[{dtype}] nll done {time.time()-t0:.0f}s", flush=True)
-        r["recall"] = recall_sweep(eng, facts, EFFORTS)
-        print(f"[{dtype}] recall done {time.time()-t0:.0f}s: " +
-              " ".join(f"{e:.2f}:{v:.3f}"
-                       for e, v in r["recall"].items()), flush=True)
+        if not args.fast:
+            r["recall"] = recall_sweep(eng, facts, EFFORTS)
+            print(f"[{dtype}] recall done {time.time()-t0:.0f}s: " +
+                  " ".join(f"{e:.2f}:{v:.3f}"
+                           for e, v in r["recall"].items()), flush=True)
         if dtype == "bf16":
             # speed + streamed fraction on the SAME checkpoint the
             # quality rows above were measured on (VERDICT r3 next #2)
