@@ -133,6 +133,20 @@ def render_map(num: dict) -> dict:
             f"{trd['dense_toks_per_s']:.0f}; measured streamed-chunk "
             f"fraction {trd.get('streamed_chunk_frac_25', float('nan')):.2f} "
             f"@25%)")
+        op_path = os.path.join(ROOT, "artifacts", "quality",
+                               "operating_points_wordlm500m.json")
+        if os.path.exists(op_path):
+            rows = {x["config"]: x
+                    for x in json.load(open(op_path))["rows"]}
+            best = rows.get("int8 tau=0.97 percent_load=0.750")
+            if best:
+                r["trn.line"] += (
+                    f"; measured operating points on the same weights "
+                    f"reach **{best['speedup_vs_full_dense_25']:.2f}x "
+                    f"@25%** (int8 + 3/4 truncated load; agreement "
+                    f"{best.get('agreement_35', float('nan')):.2f} @35%, "
+                    f"{best['agreement_50']:.2f} @50% — "
+                    f"QUALITY_trained.md §8)")
     if sv:
         r["srv.line"] = (f"**{sv['value']:.0f} tok/s aggregate at batch "
                          f"{svd['batch']}, effort 25%** "

@@ -68,6 +68,10 @@ def test_docs_markers_resolve():
                                            "full_depth_logits_cos_25": 1.0}},
         "serving": {"value": 1.0, "detail": {"batch": 8, "n_layers": 4,
                                              "agg_toks_32L_equiv": 1}},
+        "trained": {"value": 1.0, "detail": {
+            "model": "wordlm-500m", "agreement_25": 1.0,
+            "toks_per_s_25": 1.0, "toks_per_s_100": 1.0,
+            "dense_toks_per_s": 1.0, "streamed_chunk_frac_25": 1.0}},
         "moe": {"value": 1.0, "detail": {
             "n_layers": 4, "moe_toks_per_s_25": 1, "moe_toks_per_s_50": 1,
             "moe_toks_per_s_100": 1, "moe_toks_per_s_32L_equiv_25": 1}},
