@@ -152,11 +152,13 @@ SIZES = {
                 n_layers=6, steps=3000, corpus_mb=30.0,
                 n_experts=4, n_experts_per_tok=2, n_kv_heads=4),
     # third scale point (VERDICT r3 next #8): turns the 90M->310M
-    # agreement-vs-scale trend into a 3-point curve. 11 layers + batch 6
-    # measured to fit: 12L/batch-8 OOMs (f32 params+AdamW ~10.5 GB next
-    # to the remat'd [B, KV, rep, T, T] score tensor on a 16 GB chip).
-    "large": dict(name="bytelm-600m", dim=2048, hidden_dim=7168,
-                  n_layers=11, steps=5000, corpus_mb=60.0, batch=6),
+    # agreement-vs-scale trend into a 3-point curve. ~500M params is the
+    # single-chip AdamW ceiling (measured: 600M and 650M configs both
+    # ResourceExhausted — f32 params+moments+grads at 600M is ~9.6 GB
+    # and the chip holds ~13.5 GB usable; the 500M wordlm's 8 GB fits).
+    "large": dict(name="bytelm-500m", dim=1792, hidden_dim=6272,
+                  n_layers=12, steps=5000, corpus_mb=60.0, batch=8,
+                  n_kv_heads=7),
 }
 _SIZE = os.environ.get("TQ_SIZE", "small")
 
