@@ -163,6 +163,13 @@ def bucket_matvec(bm: BucketedMatrix, v: jax.Array, effort,
                 eff = effort if bm.bucket_size == 1 else float(effort)
                 y = fused_matvec(bm, v, eff, expert,
                                  alpha=alpha, tile_blocks=tgb)
+            elif bm.bucket_size == 1:
+                # B=1 layouts have no positions, so the v3 split path
+                # (rank-prefix stream + packed-position scatter) cannot
+                # serve them — shapes the fused kernel rejects (e.g. a
+                # probe-sample length not 128-aligned) take the XLA path
+                return bucket_matvec_jnp(bm, v, effort, expert,
+                                         exact_cutoff=False)
             else:
                 from effort_tpu.kernels.prefix_stream import (
                     select_stream, stream_matvec)

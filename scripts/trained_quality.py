@@ -156,9 +156,13 @@ SIZES = {
     # single-chip AdamW ceiling (measured: 600M and 650M configs both
     # ResourceExhausted — f32 params+moments+grads at 600M is ~9.6 GB
     # and the chip holds ~13.5 GB usable; the 500M wordlm's 8 GB fits).
-    "large": dict(name="bytelm-500m", dim=1792, hidden_dim=6272,
+    # shapes chosen fused-kernel-clean: dim 1792 and hidden 6144 keep
+    # every in_dim, kv_out (4 kv heads -> 256) and probe-sample length
+    # 128-aligned (6272 hidden gave a 3136-probe sample, %128 != 0,
+    # which pushed w2 off the fused path)
+    "large": dict(name="bytelm-490m", dim=1792, hidden_dim=6144,
                   n_layers=12, steps=5000, corpus_mb=60.0, batch=8,
-                  n_kv_heads=7),
+                  n_kv_heads=4),
 }
 _SIZE = os.environ.get("TQ_SIZE", "small")
 
