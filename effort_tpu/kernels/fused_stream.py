@@ -47,8 +47,9 @@ _ALPHA = float(os.environ.get("EFFORT_TPU_ALPHA", "1.3"))
 # Selected-mass coverage target for the streamed prefix (see _prefix_len).
 # Default chosen from the measured tau -> (speed, cos) curve
 # (scripts/tau_sweep.py, artifacts/tau_sweep.json): at effort 25% on the
-# w1-shape lognormal workload, 0.97 -> 1.99x dense @ cos 0.9911 vs
-# 1.0 -> 1.46x @ cos 0.9931 — the exact-coverage ceiling is the
+# w1-shape lognormal workload (round-4 re-measure, 5-rep medians),
+# 0.97 -> 2.04x dense @ cos 0.9911 vs
+# 1.0 -> 1.26x @ cos 0.9931 — the exact-coverage ceiling is the
 # selection itself, so the last 3% of selected mass buys ~0.002 cos for
 # a third of the speedup.
 _TAU = float(os.environ.get("EFFORT_TPU_TAU", "0.97"))
