@@ -51,7 +51,7 @@ sys.path.insert(0, ROOT)
 
 from scripts.trained_quality_ondevice import params_to_raw, profile_stats
 
-D = f"{ROOT}/runs/trained_quality_wordlm"
+D = os.environ.get("WORDLM_DIR", f"{ROOT}/runs/trained_quality_wordlm")
 VOCAB = 8192
 N_BYTE = 256                # ids 0..255: utf-8 byte fallback
 EFFORTS = [1.0, 0.8, 0.6, 0.5, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15]
