@@ -60,6 +60,18 @@ def _build_engine(args):
                   dynamic_effort=dyn), cfg
 
 
+def _render_reply(r, cfg):
+    """Reply -> printable text: tokenizer text when present, raw utf-8
+    for byte-vocab models (the trained byte-LM checkpoints), ids
+    otherwise."""
+    if r.text:
+        return r.text
+    if cfg.vocab_size == 256:
+        return bytes(t % 256 for t in r.token_ids).decode(
+            "utf-8", errors="replace")
+    return r.token_ids
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="effort-tpu", description=__doc__)
     p.add_argument("mode", choices=["convert", "generate", "repl", "bucket",
@@ -160,7 +172,7 @@ def main(argv=None):
             r = engine.generate_speculative(
                 encode(args.prompt), n_new=args.n_tokens,
                 draft_effort=args.draft_effort, k=args.spec_k)
-            print(r.text if r.text else r.token_ids)
+            print(_render_reply(r, cfg))
             print(f"[speculative, draft {args.draft_effort*100:.0f}%: "
                   f"{r.eval_ms_per_token:.2f} ms/token, "
                   f"{r.tokens_per_s:.1f} tok/s, "
@@ -171,7 +183,7 @@ def main(argv=None):
                             temperature=args.temperature,
                             top_k=args.top_k, top_p=args.top_p,
                             seed=args.seed)
-        print(r.text if r.text else r.token_ids)
+        print(_render_reply(r, cfg))
         print(f"[effort {args.effort*100:.0f}%: "
               f"{r.eval_ms_per_token:.2f} ms/token, "
               f"{r.tokens_per_s:.1f} tok/s]")
@@ -261,7 +273,7 @@ def _repl(engine, encode, args):
         else:
             r = engine.generate(encode(query), n_new=args.n_tokens,
                                 effort=max(effort, 0.01))
-            print(r.text if r.text else r.token_ids)
+            print(_render_reply(r, engine.cfg))
             print(f"[effort {effort*100:.0f}%: "
                   f"{r.tokens_per_s:.1f} tok/s]")
         print("> ", end="", flush=True)
