@@ -118,3 +118,40 @@ def test_nll_sweep(engine):
     out = nll_sweep(engine, [1, 5, 9, 2, 7], efforts=[1.0, 0.3])
     assert set(out) == {1.0, 0.3}
     assert all(v > 0 for v in out.values())   # NLL in nats
+
+
+def test_tf_agreement_sweep(engine):
+    """Teacher-forced real-text protocol (round 4): agreement at full
+    effort is 1.0 by construction; values bounded; efforts keyed."""
+    from effort_tpu.eval.harness import tf_agreement_sweep
+    ids = [1, 5, 9, 2, 7, 3, 8, 4, 6, 2, 5, 1]
+    out = tf_agreement_sweep(engine, ids, efforts=[1.0, 0.4])
+    assert out[1.0] == 1.0
+    assert 0.0 <= out[0.4] <= 1.0
+
+
+def test_streamed_fraction_bounds(engine):
+    """Kernel-prologue coverage replica: fractions in (0, 1]; higher
+    effort never streams less; w2 keys present on unfused layouts."""
+    from effort_tpu.eval.harness import streamed_fraction
+    out = streamed_fraction(engine.w, engine.cfg, list(range(1, 13)),
+                            efforts=(0.5, 0.25), n_probe_tokens=3)
+    for tag in (50, 25):
+        f = out[f"streamed_chunk_frac_{tag}"]
+        assert 0.0 < f <= 1.0, (tag, f)
+        assert 0.0 <= out[f"selected_row_frac_{tag}"] <= 1.0
+        assert 0.0 < out[f"w2_streamed_chunk_frac_{tag}"] <= 1.0
+    assert (out["selected_row_frac_50"]
+            >= out["selected_row_frac_25"] - 1e-6)
+
+
+def test_decode_speed_sweep_structure(engine):
+    """Timing numbers are garbage on CPU; the structure and the
+    dense/effort code paths must still work end to end."""
+    from effort_tpu.eval.harness import decode_speed_sweep
+    out = decode_speed_sweep(engine.w, engine.cfg, efforts=(1.0, 0.5),
+                             impl="jnp", n_lo=2, n_hi=4)
+    assert "dense_toks_per_s" in out
+    for tag in (100, 50):
+        assert f"toks_per_s_{tag}" in out
+        assert f"speedup_vs_dense_{tag}" in out
