@@ -262,10 +262,27 @@ def convert_checkpoint(src_dir: str, dst_dir: str, cfg: ModelConfig,
     writer.save()
     src.close()
 
+    meta = {"model": dataclasses.asdict(cfg),
+            "buckets": dataclasses.asdict(bcfg),
+            "fused": fuse,
+            "calibrated": calib is not None}
+    if calib is not None:
+        # store the measured activation-concentration profile: it is THE
+        # predictor of this checkpoint's effort speedup (flat profiles
+        # stream ~all chunks under the tau coverage bound — measured in
+        # QUALITY_trained.md §8), so the loader can surface an honest
+        # operating hint instead of letting users discover 1.0x dense
+        # empirically
+        def _conc(v):
+            v = np.sort(np.asarray(v, np.float64))[::-1]
+            return round(float(v[:len(v) // 4].sum()
+                               / (v.sum() + 1e-30)), 4)
+        meta["activation_profile"] = {
+            "top25pct_mass_m": _conc(calib["rms_m"]),
+            **({"top25pct_mass_f": _conc(calib["rms_f"])}
+               if "rms_f" in calib else {}),
+        }
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
-        json.dump({"model": dataclasses.asdict(cfg),
-                   "buckets": dataclasses.asdict(bcfg),
-                   "fused": fuse,
-                   "calibrated": calib is not None}, f, indent=2)
+        json.dump(meta, f, indent=2)
     progress(f"saved {model_tag} to {dst_dir}")
     return model_tag

@@ -271,6 +271,21 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
         _cj = json.load(f)
     fused = bool(_cj.get("fused", False))
     calibrated = bool(_cj.get("calibrated", False))
+    prof = _cj.get("activation_profile")
+    if prof:
+        # measured at convert time; the honest operating expectation for
+        # this checkpoint (flat profiles stream ~every chunk under the
+        # tau coverage bound: effort != speedup there — the int8 /
+        # percent_load knobs are, QUALITY_trained.md §8)
+        conc = max(prof.get("top25pct_mass_m", 0.0),
+                   prof.get("top25pct_mass_f", 0.0))
+        if conc < 0.40:
+            import logging
+            logging.getLogger("effort_tpu").info(
+                "checkpoint activation profile is flat (top-25%% mass "
+                "%.2f): effort buys quality-scaling, little decode "
+                "speed at tau~1; for speed use int8 buckets and/or "
+                "percent_load", conc)
     if auto_adjust and percent_load is None:
         percent_load = auto_percent_load(cfg, bcfg)
     r = MultiShardReader(ckpt_dir, model)
