@@ -802,52 +802,71 @@ def phase_serving():
                                                forward_token_batch,
                                                quantize_head)
 
-    B, L = 8, 4
+    L = 4
     cfg = mistral_7b(n_layers=L, max_seq_len=256)
     bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype="bf16")
     w = init_random_weights(cfg, bcfg, seed=0, calibrate=True, fuse=True)
     w = quantize_head(w)
     jax.block_until_ready(w.layers.any_w1.vals)
     KV, D, S = cfg.n_kv_heads, cfg.head_dim, cfg.max_seq_len
-    efforts = jnp.full((B,), 0.25, jnp.float32)
 
-    def decode(w, toks0, n):
-        kc = jnp.zeros((cfg.n_layers, B, S, KV, D), jnp.bfloat16)
-        vc = jnp.zeros_like(kc)
+    def measure(B):
+        efforts = jnp.full((B,), 0.25, jnp.float32)
 
-        def step(carry, i):
-            toks, pos, kc, vc = carry
-            logits, kc, vc = forward_token_batch(
-                w, cfg, toks, pos, kc, vc, efforts, impl="auto")
-            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (toks, pos + 1, kc, vc), toks
+        def decode(w, toks0, n):
+            kc = jnp.zeros((cfg.n_layers, B, S, KV, D), jnp.bfloat16)
+            vc = jnp.zeros_like(kc)
 
-        (_, _, _, _), out = jax.lax.scan(
-            step, (toks0, jnp.zeros((B,), jnp.int32), kc, vc),
-            jnp.arange(n, dtype=jnp.int32))
-        return out
+            def step(carry, i):
+                toks, pos, kc, vc = carry
+                logits, kc, vc = forward_token_batch(
+                    w, cfg, toks, pos, kc, vc, efforts, impl="auto")
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (toks, pos + 1, kc, vc), toks
 
-    f_lo = jax.jit(functools.partial(decode, n=8))
-    f_hi = jax.jit(functools.partial(decode, n=40))
+            (_, _, _, _), out = jax.lax.scan(
+                step, (toks0, jnp.zeros((B,), jnp.int32), kc, vc),
+                jnp.arange(n, dtype=jnp.int32))
+            return out
 
-    def run(f, seed):
-        toks0 = jax.random.randint(jax.random.key(seed), (B,), 1, 30000)
-        t0 = time.time()
-        jax.device_get(f(w, toks0))
-        return time.time() - t0
+        f_lo = jax.jit(functools.partial(decode, n=8))
+        f_hi = jax.jit(functools.partial(decode, n=40))
 
-    run(f_lo, 0)
-    run(f_hi, 1)
-    lo = min(run(f_lo, 2 + i) for i in range(3))
-    hi = min(run(f_hi, 5 + i) for i in range(3))
-    per_step = (hi - lo) / 32
+        def run(f, seed):
+            toks0 = jax.random.randint(jax.random.key(seed), (B,), 1,
+                                       30000)
+            t0 = time.time()
+            jax.device_get(f(w, toks0))
+            return time.time() - t0
+
+        run(f_lo, 0)
+        run(f_hi, 1)
+        lo = min(run(f_lo, 2 + i) for i in range(3))
+        hi = min(run(f_hi, 5 + i) for i in range(3))
+        return (hi - lo) / 32
+
+    # headline at batch 8 (r1-r3 continuity); batch 16/32 in detail —
+    # decode slots share each streamed weight tile, so aggregate tok/s
+    # keeps scaling while per-slot latency degrades gracefully
+    per_step = measure(8)
+    detail = {"ms_per_step": round(per_step * 1e3, 2), "batch": 8,
+              "n_layers": L,
+              "agg_toks_32L_equiv": round(8 / (per_step * 32 / L), 1)}
+    _emit_partial({"serving_b8_toks": round(8 / per_step, 1)})
+    for B in (16, 32):
+        try:
+            ps = measure(B)
+            detail[f"b{B}_agg_toks_per_s"] = round(B / ps, 1)
+            detail[f"b{B}_ms_per_step"] = round(ps * 1e3, 2)
+            _emit_partial({f"serving_b{B}_toks":
+                           detail[f"b{B}_agg_toks_per_s"]})
+        except Exception as e:     # larger batches must not cost the
+            detail[f"b{B}_error"] = str(e)[:120]   # headline (OOM etc.)
     print(json.dumps({
         "metric": "batched serving aggregate tok/s (batch 8, effort 25%, "
                   f"{L}L Mistral dims, 1 chip)",
-        "value": round(B / per_step, 1), "unit": "tok/s",
-        "detail": {"ms_per_step": round(per_step * 1e3, 2),
-                   "batch": B, "n_layers": L,
-                   "agg_toks_32L_equiv": round(B / (per_step * 32 / L), 1)},
+        "value": round(8 / per_step, 1), "unit": "tok/s",
+        "detail": detail,
     }))
 
 

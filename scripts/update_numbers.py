@@ -152,6 +152,12 @@ def render_map(num: dict) -> dict:
                          f"{svd['batch']}, effort 25%** "
                          f"({svd['n_layers']}L; 32L-equivalent "
                          f"{svd['agg_toks_32L_equiv']:.0f} tok/s)")
+        if svd.get("b32_agg_toks_per_s"):
+            r["srv.line"] += (f"; scales to "
+                              f"{svd['b16_agg_toks_per_s']:.0f} @batch 16 "
+                              f"and **{svd['b32_agg_toks_per_s']:.0f} "
+                              f"@batch 32** (slots share each streamed "
+                              f"weight tile)")
     if mo:
         r["moe.line"] = (f"{mo['moe_toks_per_s_25']:.0f} tok/s @25% "
                          f"({mo['moe_toks_per_s_50']:.0f} @50%, "
