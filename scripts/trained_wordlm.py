@@ -35,7 +35,6 @@ Usage: python scripts/trained_wordlm.py [--stage all|corpus|train|analyze|conver
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import json
 import os
