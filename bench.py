@@ -260,8 +260,11 @@ def orchestrate():
     # into detail and re-emits the headline. trained = the same-model
     # speed+quality table (VERDICT r3 missing #2) — right after the
     # headline phases, before the cheaper extras.
-    for extra, t_s in (("trained", 700), ("int4", 300), ("serving", 450),
-                       ("moe", 600), ("longctx", 550)):
+    # moe before serving: moe's cold compile chain is the longest of the
+    # extras (~470s warm, >600s cold) and must not inherit a squeezed
+    # tail budget; serving/longctx degrade to PARTIALs gracefully
+    for extra, t_s in (("trained", 700), ("int4", 300), ("moe", 650),
+                       ("serving", 450), ("longctx", 550)):
         if _left() < 150:
             break
         res, err, part = _run_phase(extra, timeout_s=t_s, retries=0)
