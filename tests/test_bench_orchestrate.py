@@ -95,3 +95,45 @@ def test_all_failed_emits_error_line(monkeypatch, capsys):
     assert len(lines) == 1
     assert lines[0]["value"] == 0.0
     assert lines[0]["error"] == "all-phases-failed"
+
+
+def test_regen_trained_builds_measurable_model(monkeypatch, tmp_path):
+    """Clean-tree fallback (_regen_trained): with runs/ absent the
+    trained phase must TRAIN a model in-process rather than emit
+    `no-trained-checkpoint` (driver benches run in fresh checkouts).
+    Tiny config + 3 steps on CPU; asserts the returned weights decode
+    and the holdout slice is real corpus text."""
+    bench = _load_bench()
+    import scripts.trained_wordlm as tw
+    from effort_tpu.config import ModelConfig
+
+    monkeypatch.setattr(tw, "D", str(tmp_path))
+    monkeypatch.setattr(
+        tw, "model_cfg",
+        lambda: ModelConfig(name="wordlm-500m", dim=64, hidden_dim=128,
+                            n_layers=2, n_heads=4, n_kv_heads=2,
+                            head_dim=16, vocab_size=tw.VOCAB,
+                            max_seq_len=256, rope_theta=1e6))
+    monkeypatch.setattr(tw, "_local_text",
+                        lambda mb: "the quick brown fox " * 6000)
+    monkeypatch.setenv("BENCH_REGEN_STEPS", "3")
+    emitted = []
+    monkeypatch.setattr(bench, "_emit_partial", emitted.append)
+
+    w, cfg, hold, steps = bench._regen_trained()
+    assert steps == 3
+    assert cfg.n_layers == 1 and cfg.name == "wordlm-regen-250m"
+    assert len(hold) > 100
+    assert any("trained_regen_calibrated" in d for d in emitted)
+
+    import jax
+    import jax.numpy as jnp
+    from effort_tpu.models.transformer import forward_token, make_kv_cache
+    kc, vc = make_kv_cache(cfg)
+    logits, _, _ = forward_token(w, cfg, jnp.asarray(hold[0]),
+                                 jnp.asarray(0), kc, vc, effort=0.5,
+                                 impl="jnp")
+    assert logits.shape == (cfg.vocab_size,)
+    assert bool(jnp.isfinite(logits).all())
+    # dense copies present: the speed sweep's baseline needs them
+    assert w.layers.w1.dense is not None
