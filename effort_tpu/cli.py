@@ -75,7 +75,7 @@ def _render_reply(r, cfg):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="effort-tpu", description=__doc__)
     p.add_argument("mode", choices=["convert", "generate", "repl", "bucket",
-                                    "quiz", "agreement", "kl",
+                                    "quiz", "agreement", "kl", "autotune",
                                     # reference run-mode aliases
                                     "playground", "benchmark", "quickstart"])
     p.add_argument("--ckpt", help="bucketized checkpoint dir")
@@ -130,6 +130,13 @@ def main(argv=None):
                    help="repl: print tokens progressively (chunked "
                         "session decode)")
     p.add_argument("--quiz-file", default=None)
+    p.add_argument("--target-agreement", type=float, default=0.8,
+                   help="autotune: agreement floor vs the full bf16 "
+                        "checkpoint")
+    p.add_argument("--hbm-budget-gb", type=float, default=None,
+                   help="autotune: restrict candidates to configs "
+                        "fitting this weight budget (reference "
+                        "autoAdjustPercent, loader.swift:316-339)")
     args = p.parse_args(argv)
     args.mode = {"playground": "bucket", "benchmark": "agreement",
                  "quickstart": "generate"}.get(args.mode, args.mode)
@@ -156,6 +163,28 @@ def main(argv=None):
 
     if args.mode == "bucket":
         _run_bucket_sweep(args)
+        return
+
+    if args.mode == "autotune":
+        # one call: checkpoint + target -> measured, chosen operating
+        # point (the reference's autoAdjustPercent finished: every knob,
+        # measured curves, quality scored vs the full bf16 control)
+        from effort_tpu.models.autotune import auto_tune
+        assert args.ckpt, "autotune needs --ckpt (bucketized bf16 dir)"
+        budget = (int(args.hbm_budget_gb * 2**30)
+                  if args.hbm_budget_gb else None)
+        res = auto_tune(args.ckpt,
+                        target_agreement=args.target_agreement,
+                        hbm_budget_bytes=budget)
+        print(json.dumps(res, indent=1, default=float))
+        c = res["chosen"]
+        if c is None:
+            print("# no measured point meets the target; "
+                  "use full bf16 at effort=1.0", file=sys.stderr)
+        else:
+            print(f"# chosen: {c['config']} effort={c['effort']} -> "
+                  f"{c['speedup']}x dense, agreement {c['agreement']}",
+                  file=sys.stderr)
         return
 
     engine, cfg = _build_engine(args)

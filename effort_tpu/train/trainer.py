@@ -194,6 +194,11 @@ class TrainConfig:
     scan_chunk: int = 25      # jitted steps per host round-trip
     seed: int = 0
     holdout_frac: float = 0.02
+    # Adam first-moment dtype. f32 params+AdamW+grads cost 16 bytes/param,
+    # capping one 16 GB chip at ~500M params; "bfloat16" drops mu to 2
+    # bytes and (with the donated run_chunk buffers) lifts the ceiling to
+    # ~1B — the wordlm-1b concentration rung needs this.
+    mu_dtype: str = "float32"
 
 
 def _sample_batch(corpus, key, batch, seq_len, lo, hi):
@@ -205,14 +210,25 @@ def _sample_batch(corpus, key, batch, seq_len, lo, hi):
 
 def train(cfg: ModelConfig, corpus: np.ndarray,
           tcfg: Optional[TrainConfig] = None, params: Optional[Dict] = None,
-          progress=print):
+          progress=print, deadline: Optional[float] = None):
     """Train a byte/token LM on `corpus` (1-D int array of token ids).
 
     Returns (params, history) where history is a list of (step, train
     loss, holdout loss). The tail holdout_frac of the corpus is held out
-    for eval and never sampled for training."""
+    for eval and never sampled for training.
+
+    `deadline`: absolute time.time() after which no further chunk starts
+    — the trained params at that point are returned with however many
+    steps ran (history[-1][0] is the actual count). Lets budgeted
+    callers (bench.py's clean-tree regen) train as much as their phase
+    watchdog allows instead of gambling on a fixed step count."""
+    import time
     import optax
     tcfg = tcfg or TrainConfig()
+    # honor step counts below one scan chunk (and make history[-1][0]
+    # mean what it says)
+    tcfg = dataclasses.replace(
+        tcfg, scan_chunk=max(1, min(tcfg.scan_chunk, tcfg.steps)))
     corpus_d = jnp.asarray(np.asarray(corpus, np.int32))
     n = int(corpus_d.shape[0])
     split = int(n * (1.0 - tcfg.holdout_frac))
@@ -223,10 +239,13 @@ def train(cfg: ModelConfig, corpus: np.ndarray,
         0.0, tcfg.lr, tcfg.warmup, tcfg.steps, tcfg.lr * 0.1)
     opt = optax.chain(
         optax.clip_by_global_norm(tcfg.clip_norm),
-        optax.adamw(sched, weight_decay=tcfg.weight_decay))
+        optax.adamw(sched, weight_decay=tcfg.weight_decay,
+                    mu_dtype=jnp.dtype(tcfg.mu_dtype)))
     opt_state = opt.init(params)
 
-    @jax.jit
+    # donate params+opt_state: XLA reuses their buffers for the outputs,
+    # halving the steady-state footprint of the train state
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, key, step0):
         def one(carry, i):
             params, opt_state = carry
@@ -252,7 +271,8 @@ def train(cfg: ModelConfig, corpus: np.ndarray,
     key = jax.random.key(tcfg.seed + 1)
     history = []
     step = 0
-    while step < tcfg.steps:
+    while step < tcfg.steps and (step == 0 or deadline is None
+                                 or time.time() < deadline):
         params, opt_state, losses = run_chunk(
             params, opt_state, jax.random.fold_in(key, step),
             jnp.int32(step))

@@ -52,6 +52,11 @@ from scripts.trained_quality_ondevice import params_to_raw, profile_stats
 
 D = os.environ.get("WORDLM_DIR", f"{ROOT}/runs/trained_quality_wordlm")
 VOCAB = 8192
+N_LAYERS = 2
+NAME = "wordlm-500m"
+TAG = "wordlm500m"          # artifacts/quality/*_{TAG}.json mirror suffix
+CORPUS_MB = 60.0
+BATCH = 8
 N_BYTE = 256                # ids 0..255: utf-8 byte fallback
 EFFORTS = [1.0, 0.8, 0.6, 0.5, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15]
 
@@ -60,16 +65,19 @@ _PIECE = re.compile(r" ?[A-Za-z_']+| ?[0-9]+|[ \t]*\n[ \t]*|[ \t]+|[^\sA-Za-z0-9
 
 def model_cfg():
     from effort_tpu.config import ModelConfig
-    return ModelConfig(name="wordlm-500m", dim=4096, hidden_dim=14336,
-                       n_layers=2, n_heads=32, n_kv_heads=8, head_dim=128,
-                       vocab_size=VOCAB, max_seq_len=2048, rope_theta=1e6)
+    return ModelConfig(name=NAME, dim=4096, hidden_dim=14336,
+                       n_layers=N_LAYERS, n_heads=32, n_kv_heads=8,
+                       head_dim=128, vocab_size=VOCAB, max_seq_len=2048,
+                       rope_theta=1e6)
 
 
 # --------------------------------------------------------------------------
 # corpus / tokenizer
 # --------------------------------------------------------------------------
 
-def _local_text(target_mb: float = 60.0) -> str:
+def _local_text(target_mb: float = None) -> str:
+    if target_mb is None:
+        target_mb = CORPUS_MB
     paths = []
     for pat in (f"{ROOT}/effort_tpu/**/*.py", f"{ROOT}/tests/*.py",
                 f"{ROOT}/scripts/*.py", f"{ROOT}/docs/*.md",
@@ -152,9 +160,10 @@ def stage_train(steps: int):
     # already 8 GB; the remat'd [B, KV, rep, T, T] score tensor plus
     # [B, T, hidden] FFN temporaries OOM the 16 GB chip at B>=16
     # (measured: both 32 and 16 hit ResourceExhausted)
-    tcfg = TrainConfig(batch=8, seq_len=512, steps=steps, lr=3e-4,
+    tcfg = TrainConfig(batch=BATCH, seq_len=512, steps=steps, lr=3e-4,
                        warmup=min(200, steps // 10), scan_chunk=25,
-                       holdout_frac=0.02)
+                       holdout_frac=0.02,
+                       mu_dtype="bfloat16" if N_LAYERS > 2 else "float32")
     t0 = time.time()
     params, hist = train(cfg, corpus, tcfg)
     train_s = time.time() - t0
@@ -290,10 +299,9 @@ def stage_analyze(params=None):
 
     # mirror the key artifacts where the published curves live
     os.makedirs(f"{ROOT}/artifacts/quality", exist_ok=True)
-    for src, dst in (("calib_profile.json",
-                      "calib_profile_wordlm500m.json"),
-                     ("eval.json", "eval_wordlm500m.json"),
-                     ("speed.json", "speed_wordlm500m.json")):
+    for src, dst in (("calib_profile.json", f"calib_profile_{TAG}.json"),
+                     ("eval.json", f"eval_{TAG}.json"),
+                     ("speed.json", f"speed_{TAG}.json")):
         if os.path.exists(f"{D}/{src}"):
             json.dump(json.load(open(f"{D}/{src}")),
                       open(f"{ROOT}/artifacts/quality/{dst}", "w"),
@@ -310,7 +318,7 @@ def stage_convert():
     from effort_tpu.config import BucketConfig
     from effort_tpu.convert.convert import convert_checkpoint
     cfg = model_cfg()
-    for dtype in ("bf16", "int8"):
+    for dtype in ("bf16", "int8", "int4"):
         bcfg = BucketConfig(bucket_size=1, chunk_rows=128, dtype=dtype)
         dst = f"{D}/ckpt_{dtype}"
         if os.path.exists(f"{dst}/config.json"):
@@ -324,10 +332,42 @@ def stage_convert():
 
 
 def main():
+    global D, VOCAB, N_LAYERS, NAME, TAG, CORPUS_MB, BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all")
     ap.add_argument("--steps", type=int, default=3500)
+    # concentration-ladder rung knobs (VERDICT r4 next #2): defaults
+    # reproduce the wordlm-500m recipe exactly; --preset 1b is the 32k-
+    # vocab 3-layer ~0.92B rung (4L f32-Adam does not fit 16 GB HBM even
+    # with bf16 mu; 3L+32k hits the ~1B target with the vocab lever on)
+    ap.add_argument("--preset", default=None, choices=[None, "1b"])
+    ap.add_argument("--dir", default=None)
+    ap.add_argument("--vocab", type=int, default=None)
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--name", default=None)
+    ap.add_argument("--tag", default=None)
+    ap.add_argument("--corpus-mb", type=float, default=None)
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
+    if args.preset == "1b":
+        D = f"{ROOT}/runs/trained_wordlm1b"
+        VOCAB, N_LAYERS = 32768, 3
+        NAME, TAG = "wordlm-1b", "wordlm1b"
+        CORPUS_MB, BATCH = 120.0, 8
+    if args.dir:
+        D = args.dir
+    if args.vocab:
+        VOCAB = args.vocab
+    if args.layers:
+        N_LAYERS = args.layers
+    if args.name:
+        NAME = args.name
+    if args.tag:
+        TAG = args.tag
+    if args.corpus_mb:
+        CORPUS_MB = args.corpus_mb
+    if args.batch:
+        BATCH = args.batch
     if args.stage == "all":
         if not os.path.exists(f"{D}/corpus.npy"):
             stage_corpus()

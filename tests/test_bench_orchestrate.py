@@ -107,7 +107,7 @@ def test_regen_trained_builds_measurable_model(monkeypatch, tmp_path):
     import scripts.trained_wordlm as tw
     from effort_tpu.config import ModelConfig
 
-    monkeypatch.setattr(tw, "D", str(tmp_path))
+    monkeypatch.setenv("WORDLM_REGEN_DIR", str(tmp_path))
     monkeypatch.setattr(
         tw, "model_cfg",
         lambda: ModelConfig(name="wordlm-500m", dim=64, hidden_dim=128,
@@ -120,8 +120,10 @@ def test_regen_trained_builds_measurable_model(monkeypatch, tmp_path):
     emitted = []
     monkeypatch.setattr(bench, "_emit_partial", emitted.append)
 
-    w, cfg, hold, steps = bench._regen_trained()
+    w, cfg, hold, steps, raw, rms = bench._regen_trained()
+    # scan_chunk clamps to the step count, so 3 means 3 (ADVICE r4 low)
     assert steps == 3
+    assert raw is not None and rms is not None
     assert cfg.n_layers == 1 and cfg.name == "wordlm-regen-250m"
     assert len(hold) > 100
     assert any("trained_regen_calibrated" in d for d in emitted)
