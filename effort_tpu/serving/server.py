@@ -100,6 +100,10 @@ class EffortServer:
 
     def _encode_query(self, query: str):
         if self.tokenizer is not None:
+            # plain-LM tokenizers (WordTokenizer, instruct=False) take
+            # the raw text; chat checkpoints get the [INST] template
+            if not getattr(self.tokenizer, "instruct", True):
+                return self.tokenizer.encode(query)
             from effort_tpu.runtime.tokenizer import mistral_instruct_prompt
             return self.tokenizer.encode(mistral_instruct_prompt(query))
         vocab = (self.batcher.eng.cfg.vocab_size if self.batcher is not None

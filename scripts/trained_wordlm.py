@@ -57,10 +57,12 @@ NAME = "wordlm-500m"
 TAG = "wordlm500m"          # artifacts/quality/*_{TAG}.json mirror suffix
 CORPUS_MB = 60.0
 BATCH = 8
-N_BYTE = 256                # ids 0..255: utf-8 byte fallback
 EFFORTS = [1.0, 0.8, 0.6, 0.5, 0.4, 0.35, 0.3, 0.25, 0.2, 0.15]
 
-_PIECE = re.compile(r" ?[A-Za-z_']+| ?[0-9]+|[ \t]*\n[ \t]*|[ \t]+|[^\sA-Za-z0-9_']")
+# tokenizer scheme lives in the package (serving/CLI use it on trained
+# checkpoints); these aliases keep the script's public names stable
+from effort_tpu.runtime.word_tokenizer import (  # noqa: E402
+    N_BYTE, PIECE_RE as _PIECE, WordTokenizer)
 
 
 def model_cfg():
@@ -103,32 +105,13 @@ def _local_text(target_mb: float = None) -> str:
 
 
 def encode(text: str, word_ids: dict) -> np.ndarray:
-    out = []
-    for piece in _PIECE.findall(text):
-        i = word_ids.get(piece)
-        if i is not None:
-            out.append(i)
-        else:
-            out.extend(piece.encode("utf-8", errors="ignore"))
-    return np.asarray(out, np.int32)
+    tk = WordTokenizer([])
+    tk.word_ids = word_ids
+    return np.asarray(tk.encode(text), np.int32)
 
 
 def decode_ids(ids, words: list) -> str:
-    frags, byte_run = [], []
-    for i in ids:
-        i = int(i)
-        if i < N_BYTE:
-            byte_run.append(i)
-        else:
-            if byte_run:
-                frags.append(bytes(byte_run).decode("utf-8",
-                                                    errors="replace"))
-                byte_run = []
-            frags.append(words[i - N_BYTE] if i - N_BYTE < len(words)
-                         else "")
-    if byte_run:
-        frags.append(bytes(byte_run).decode("utf-8", errors="replace"))
-    return "".join(frags)
+    return WordTokenizer(words).decode(ids)
 
 
 def stage_corpus():
