@@ -273,8 +273,8 @@ def orchestrate():
     # moe before serving: moe's cold compile chain is the longest of the
     # extras (~470s warm, >600s cold) and must not inherit a squeezed
     # tail budget; serving/longctx degrade to PARTIALs gracefully
-    for extra, t_s in (("trained", 900), ("int4", 300), ("moe", 650),
-                       ("serving", 450), ("longctx", 550)):
+    for extra, t_s in (("trained", 900), ("int4", 500), ("moe", 800),
+                       ("serving", 520), ("longctx", 550)):
         if _left() < 150:
             break
         res, err, part = _run_phase(extra, timeout_s=t_s, retries=0)
@@ -887,7 +887,7 @@ def phase_int4():
     """int4 buckets (sign+value nibbles + fp32 outlier correction — the
     reference's Q4, bucketMulQ4.metal, there 'extremely slow'/unoptimized)
     on the row-prefix MXU kernel, vs dense bf16."""
-    _arm_watchdog(400)
+    _arm_watchdog(560)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -945,13 +945,69 @@ def phase_int4():
         y = np.asarray(runq(bmq, v))
         cs.append(float(y @ yd / (np.linalg.norm(y) * np.linalg.norm(yd)
                                   + 1e-30)))
+    detail = {"t_int4_us": round(t_q * 1e6, 1),
+              "t_dense_us": round(t_dense * 1e6, 1),
+              "cos_vs_dense": round(float(np.mean(cs)), 4)}
+    _emit_partial({"int4_matvec_speedup": round(t_dense / t_q, 3)})
+
+    # ---- model level: full-depth 32L int4 decode (VERDICT r4 weak #4:
+    # int4 had only a single-matrix number; ~7.2 GB weights fit HBM at
+    # full depth, same protocol as phase_model's 32L int8 sweep) ----
+    try:
+        import functools
+        from effort_tpu.config import mistral_7b
+        from effort_tpu.models.transformer import (init_random_weights,
+                                                   forward_token,
+                                                   make_kv_cache,
+                                                   quantize_head)
+        del bmq, bm_d
+        cfg32 = mistral_7b(n_layers=32, max_seq_len=256)
+        bcfg4 = BucketConfig(bucket_size=1, chunk_rows=128, dtype="int4")
+        w32 = init_random_weights(cfg32, bcfg4, seed=0, calibrate=True)
+        w32 = quantize_head(w32)
+        jax.block_until_ready(w32.layers.any_w1.vals)
+
+        def decode(w, tok0, effort, n):
+            kc, vc = make_kv_cache(cfg32)
+
+            def step(carry, pos):
+                tok, kc, vc = carry
+                logits, kc, vc = forward_token(w, cfg32, tok, pos, kc, vc,
+                                               effort=effort,
+                                               impl="pallas")
+                return (jnp.argmax(logits).astype(jnp.int32), kc, vc), ()
+
+            (tok, _, _), _ = jax.lax.scan(
+                step, (tok0, kc, vc), jnp.arange(n, dtype=jnp.int32))
+            return tok
+
+        toks = iter(jnp.arange(2, 60, dtype=jnp.int32))
+        for e in (0.25, 1.0):
+            f_lo = jax.jit(functools.partial(
+                decode, effort=jnp.float32(e), n=8))
+            f_hi = jax.jit(functools.partial(
+                decode, effort=jnp.float32(e), n=40))
+
+            def t(f):
+                t0 = time.perf_counter()
+                jax.device_get(f(w32, next(toks)))
+                return time.perf_counter() - t0
+
+            t(f_lo), t(f_hi)
+            lo = min(t(f_lo) for _ in range(3))
+            hi = min(t(f_hi) for _ in range(3))
+            key = f"int4_32L_toks_per_s_{int(e*100)}"
+            detail[key] = round(32.0 / (hi - lo), 1)
+            _emit_partial({key: detail[key]})
+    except Exception as err:   # model level must not cost the matvec line
+        detail["int4_model_error"] = str(err)[:160]
+
     print(json.dumps({
         "metric": "int4 effort matvec speedup at effort=25% vs dense "
-                  "bf16, w1 shape (1 chip)",
+                  "bf16, w1 shape (1 chip; full-depth 32L int4 decode "
+                  "tok/s in detail)",
         "value": round(t_dense / t_q, 3), "unit": "x",
-        "detail": {"t_int4_us": round(t_q * 1e6, 1),
-                   "t_dense_us": round(t_dense * 1e6, 1),
-                   "cos_vs_dense": round(float(np.mean(cs)), 4)},
+        "detail": detail,
     }))
 
 

@@ -187,6 +187,33 @@ def load_quiz(path: str) -> List[dict]:
         return json.load(f)
 
 
+def limited_quiz_sweep(engine, items: List[dict],
+                       efforts: Optional[Sequence[float]] = None,
+                       progress=None) -> Dict[float, float]:
+    """Multiple-choice accuracy per effort via raw limit-logits.
+
+    The reference's limitLogits mechanism (runNetwork.swift:237-250):
+    the model's answer is the argmax among the allowed answer-token
+    logits after the prompt. run_quiz formats chat-style numbered
+    options for instruct checkpoints; this variant takes pre-encoded
+    items for PLAIN LMs (the trained word-LM checkpoints), where the
+    choices are the answer words themselves:
+
+      items: {"prompt_ids": [int], "allowed_ids": [int], "correct": int}
+      (correct = index into allowed_ids; shuffle at build time)
+    """
+    efforts = list(efforts or effort_scale())
+    scores = {e: 0 for e in efforts}
+    for qi, item in enumerate(items):
+        for e in efforts:
+            pick = engine.answer_limited(item["prompt_ids"],
+                                         item["allowed_ids"], effort=e)
+            scores[e] += int(pick == item["correct"])
+        if progress:
+            progress(qi + 1, len(items))
+    return {e: s / max(1, len(items)) for e, s in scores.items()}
+
+
 # --------------------------------------------------------------------------
 # speed + streamed-fraction probes (the same-checkpoint speed axis:
 # every published quality sweep can now carry its own decode timing —

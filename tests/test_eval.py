@@ -155,3 +155,38 @@ def test_decode_speed_sweep_structure(engine):
     for tag in (100, 50):
         assert f"toks_per_s_{tag}" in out
         assert f"speedup_vs_dense_{tag}" in out
+
+
+def test_limited_quiz_sweep_counts():
+    """limit-logits quiz harness: a stub engine that knows the answers
+    at high effort and guesses slot 0 at low effort."""
+    from effort_tpu.eval.harness import limited_quiz_sweep
+
+    class Stub:
+        def answer_limited(self, prompt_ids, allowed_ids, effort=1.0):
+            return prompt_ids[0] if effort >= 0.5 else 0
+
+    items = [{"prompt_ids": [i % 3], "allowed_ids": [10, 11, 12],
+              "correct": i % 3} for i in range(9)]
+    acc = limited_quiz_sweep(Stub(), items, efforts=[1.0, 0.1])
+    assert acc[1.0] == 1.0
+    assert abs(acc[0.1] - 3 / 9) < 1e-9
+
+
+def test_build_fact_quiz_items_single_token_answers():
+    from scripts.trained_quiz import build_fact_quiz, quiz_items
+    from effort_tpu.runtime.word_tokenizer import N_BYTE, WordTokenizer
+
+    words = ([f" word{chr(97+i)}" for i in range(26)]
+             + ["the", " the", " of", " is", "plain"])
+    facts = build_fact_quiz(words, n_facts=8, seed=1)
+    tok = WordTokenizer(words)
+    for f in facts:
+        assert f["val"].startswith(" ")
+        assert tok.encode(f["val"]) == [f["val_id"]], f
+    items = quiz_items(facts, tok)
+    for it, f in zip(items, facts):
+        assert len(it["allowed_ids"]) == 4
+        assert it["allowed_ids"][it["correct"]] == f["val_id"]
+        # prompt must not leak the answer id
+        assert f["val_id"] not in it["prompt_ids"]
