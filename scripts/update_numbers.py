@@ -124,29 +124,61 @@ def render_map(num: dict) -> dict:
                          f"{md['model_toks_per_s_100']:.0f} @100%)")
         r["mdl.tok25"] = f"{md['model_toks_per_s_25']:.0f} tok/s @25%"
     if trd:
-        r["trn.line"] = (
-            f"**{tr['value']:.2f}x dense at 25% effort with "
-            f"{trd['agreement_25']:.2f} argmax agreement, on the same "
-            f"trained {trd['model']} checkpoint** "
-            f"({trd['toks_per_s_25']:.0f} tok/s @25%, "
-            f"{trd['toks_per_s_100']:.0f} @100%, dense "
-            f"{trd['dense_toks_per_s']:.0f}; measured streamed-chunk "
-            f"fraction {trd.get('streamed_chunk_frac_25', float('nan')):.2f} "
-            f"@25%)")
-        op_path = os.path.join(ROOT, "artifacts", "quality",
-                               "operating_points_wordlm500m.json")
-        if os.path.exists(op_path):
-            rows = {x["config"]: x
-                    for x in json.load(open(op_path))["rows"]}
-            best = rows.get("int8 tau=0.97 percent_load=0.750")
-            if best:
+        op = trd.get("op_int8_pl11_16", {})
+        if "agreement_vs_full_bf16_35" in op:
+            # the flagship coupled operating point (VERDICT r4 next #1):
+            # speedup AND agreement vs the FULL bf16 model, ONE
+            # driver-captured dict
+            r["trn.line"] = (
+                f"**{op['speedup_vs_full_bf16_dense_35']:.2f}x the full "
+                f"bf16 dense path at 35% effort with "
+                f"{op['agreement_vs_full_bf16_35']:.2f} argmax agreement "
+                f"vs the FULL bf16 model** (int8 buckets + 11/16 "
+                f"truncated load on the same trained {trd['model']} "
+                f"checkpoint; @25%: "
+                f"{op['speedup_vs_full_bf16_dense_25']:.2f}x at "
+                f"{op['agreement_vs_full_bf16_25']:.2f}; "
+                f"quantization+truncation cost is INSIDE these "
+                f"agreement numbers — driver-captured, BENCH trained "
+                f"phase). Pure bf16 effort on the same weights: "
+                f"{tr['value']:.2f}x @25% with "
+                f"{trd.get('agreement_25', float('nan')):.2f} agreement "
+                f"(streamed-chunk fraction "
+                f"{trd.get('streamed_chunk_frac_25', float('nan')):.2f})")
+        else:
+            r["trn.line"] = (
+                f"**{tr['value']:.2f}x dense at 25% effort with "
+                f"{trd.get('agreement_25', float('nan')):.2f} argmax "
+                f"agreement, on the same "
+                f"trained {trd['model']} checkpoint** "
+                f"({trd['toks_per_s_25']:.0f} tok/s @25%, "
+                f"{trd['toks_per_s_100']:.0f} @100%, dense "
+                f"{trd['dense_toks_per_s']:.0f}; measured streamed-chunk "
+                f"fraction "
+                f"{trd.get('streamed_chunk_frac_25', float('nan')):.2f} "
+                f"@25%)")
+        for tag in ("wordlm1b", "wordlm500m"):
+            op_path = os.path.join(ROOT, "artifacts", "quality",
+                                   f"operating_points_{tag}.json")
+            if not os.path.exists(op_path):
+                continue
+            rows = json.load(open(op_path))["rows"]
+            # best speedup@25 among rows with agreement_vs_full_50 >= 0.8
+            cands = [x for x in rows
+                     if x.get("agreement_vs_full_50", 0) >= 0.8
+                     and "speedup_vs_full_dense_25" in x]
+            if cands:
+                best = max(cands,
+                           key=lambda x: x["speedup_vs_full_dense_25"])
                 r["trn.line"] += (
-                    f"; measured operating points on the same weights "
-                    f"reach **{best['speedup_vs_full_dense_25']:.2f}x "
-                    f"@25%** (int8 + 3/4 truncated load; agreement "
-                    f"{best.get('agreement_35', float('nan')):.2f} @35%, "
-                    f"{best['agreement_50']:.2f} @50% — "
-                    f"QUALITY_trained.md §8)")
+                    f"; full operating-point table on {tag}: best "
+                    f"**{best['speedup_vs_full_dense_25']:.2f}x @25%** "
+                    f"({best['config']}; agreement vs full bf16 "
+                    f"{best.get('agreement_vs_full_25', float('nan')):.2f} "
+                    f"@25% / "
+                    f"{best.get('agreement_vs_full_50', float('nan')):.2f} "
+                    f"@50% — QUALITY_trained.md §8)")
+            break
     if sv:
         r["srv.line"] = (f"**{sv['value']:.0f} tok/s aggregate at batch "
                          f"{svd['batch']}, effort 25%** "
@@ -158,6 +190,16 @@ def render_map(num: dict) -> dict:
                               f"and **{svd['b32_agg_toks_per_s']:.0f} "
                               f"@batch 32** (slots share each streamed "
                               f"weight tile)")
+        if svd.get("effort25_vs_full_x"):
+            r["srv.line"] += (
+                f"; effort buys the batch "
+                f"**{svd['effort25_vs_full_x']:.2f}x over effort-1.0**"
+                + (f" and {svd['effort25_vs_dense_x']:.2f}x over the "
+                   f"dense path" if svd.get("effort25_vs_dense_x")
+                   else "")
+                + (f"; per-token latency p50 {svd['p50_ms']:.2f} ms / "
+                   f"p99 {svd['p99_ms']:.2f} ms"
+                   if svd.get("p50_ms") else ""))
     if mo:
         r["moe.line"] = (f"{mo['moe_toks_per_s_25']:.0f} tok/s @25% "
                          f"({mo['moe_toks_per_s_50']:.0f} @50%, "
@@ -166,6 +208,15 @@ def render_map(num: dict) -> dict:
                          f"(32L-equivalent "
                          f"{mo['moe_toks_per_s_32L_equiv_25']:.0f} tok/s "
                          f"@25%)")
+        if mo.get("moe_speedup_vs_dense_25"):
+            r["moe.line"] += (
+                f"; vs the dense MXU path on the SAME MoE model: "
+                f"**{mo['moe_speedup_vs_dense_25']:.2f}x @25%** "
+                f"({mo.get('moe_speedup_vs_dense_50', float('nan')):.2f}x "
+                f"@50%); effort-independent overhead (gate + attention + "
+                f"head) is "
+                f"{mo.get('effort_independent_frac_at_25', float('nan'))*100:.0f}% "
+                f"of the @25% step — the measured cap on MoE effort range")
     if md and "logits_cos_25" in md:
         r["mdl.agree"] = (f"teacher-forced logits cosine vs full effort "
                           f"{md['logits_cos_25']:.3f} @25% / "
