@@ -45,7 +45,8 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
                     cfg: ModelConfig, bcfg: BucketConfig,
                     percent_load: Optional[float] = None,
                     rows_sorted: bool = False,
-                    load_core: bool = False) -> BucketedMatrix:
+                    load_core: bool = False,
+                    out_dim: Optional[int] = None) -> BucketedMatrix:
     """Stack per-instance tensors (one per prefix) into one packed
     BucketedMatrix whose n_experts = len(prefixes).
 
@@ -88,7 +89,13 @@ def _stack_bucketed(reader: MultiShardReader, prefixes: List[str],
     NB_inst = vals_l[0].shape[0]
     OB = vals_l[0].shape[2]  # vals (not pos — pos is bit-packed)
     B = bcfg.bucket_size
-    out_dim = OB * B
+    if out_dim is None:
+        # int4 stores two values per byte (ops/bucketize nibble
+        # packing), so the stored column count is out/2 — and padded to
+        # a 128-byte multiple, so callers that know the projection's
+        # true out_dim should pass it (the padding makes inversion from
+        # shapes alone ambiguous)
+        out_dim = OB * B * (2 if bcfg.dtype == "int4" else 1)
     assert NB_inst == (in_dim // G) * K_stored
 
     # truncated loading at load time
@@ -310,19 +317,27 @@ def load_bucketized(ckpt_dir: str, percent_load: Optional[float] = None,
         else:
             want_core = False
 
+    q_out = cfg.n_heads * cfg.head_dim
+    kv_out = cfg.n_kv_heads * cfg.head_dim
+    _OUT = {"wq": q_out, "wk": kv_out, "wv": kv_out, "wo": cfg.dim,
+            "wqkv": q_out + 2 * kv_out, "w1": cfg.hidden_dim,
+            "w3": cfg.hidden_dim, "w2": cfg.dim,
+            "w13": 2 * cfg.hidden_dim}
+
     def attn(p):
         # wo's input space (attention output) is never calibration-sorted
         return _stack_bucketed(
             r, [f"layers.{l}.attention.{p}" for l in range(L)],
             cfg, bcfg, percent_load,
-            rows_sorted=calibrated and p != "wo", load_core=want_core)
+            rows_sorted=calibrated and p != "wo", load_core=want_core,
+            out_dim=_OUT[p])
 
     def ffn(p):
         return _stack_bucketed(
             r, [f"layers.{l}.feed_forward.experts.{e}.{p}"
                 for l in range(L) for e in range(E)],
             cfg, bcfg, percent_load, rows_sorted=calibrated,
-            load_core=want_core)
+            load_core=want_core, out_dim=_OUT[p])
 
     if fused:
         proj = dict(wq=None, wk=None, wv=None, w1=None, w3=None,

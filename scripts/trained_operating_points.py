@@ -41,6 +41,7 @@ import time
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def main():
@@ -63,7 +64,18 @@ def main():
 
     corpus = np.load(f"{D}/corpus.npy")
     split = int(len(corpus) * 0.98)
-    hold500 = corpus[split:split + 500].astype(int).tolist()
+    # Agreement windows: SEVERAL 500-token windows spread across the
+    # holdout region, averaged. A single window can be degenerate — the
+    # wordlm-1b corpus tail starts in near-duplicated vendored code the
+    # model predicts at 0.13 nats/token, which would inflate agreement
+    # at every effort; averaging over spread windows keeps the protocol
+    # at the reference's 500-token real-text scale
+    # (benchmark.swift:128-156) without cherry-picking.
+    n_hold = len(corpus) - split
+    offs = [int(f * max(0, n_hold - 600)) for f in (0.0, 0.35, 0.7)]
+    windows = [corpus[split + o: split + o + 500].astype(int).tolist()
+               for o in offs]
+    hold500 = windows[0]
     efforts = (1.0, 0.5, 0.35, 0.25)
 
     out = {"rows": []}
@@ -84,14 +96,25 @@ def main():
         if ctrl["preds"] is None:
             # first row IS the full bf16 checkpoint: its effort=1.0
             # argmax is the control every later variant is scored against
-            ctrl["preds"] = tf_control_preds(eng, hold500)
-        self_agr = tf_agreement_sweep(eng, hold500, efforts=(0.5, 0.25))
-        full_agr = tf_agreement_sweep(eng, hold500, efforts=(0.5, 0.25),
-                                      control=ctrl["preds"])
+            ctrl["preds"] = [tf_control_preds(eng, win)
+                             for win in windows]
+        self_a = {0.5: [], 0.25: []}
+        full_a = {0.5: [], 0.25: []}
+        for wi, win in enumerate(windows):
+            sa = tf_agreement_sweep(eng, win, efforts=(0.5, 0.25))
+            fa = tf_agreement_sweep(eng, win, efforts=(0.5, 0.25),
+                                    control=ctrl["preds"][wi])
+            for e in (0.5, 0.25):
+                self_a[e].append(sa[e])
+                full_a[e].append(fa[e])
         for e in (0.5, 0.25):
             tag = int(e * 100)
-            r[f"agreement_self_{tag}"] = round(self_agr[e], 3)
-            r[f"agreement_vs_full_{tag}"] = round(full_agr[e], 3)
+            r[f"agreement_self_{tag}"] = round(
+                float(np.mean(self_a[e])), 3)
+            r[f"agreement_vs_full_{tag}"] = round(
+                float(np.mean(full_a[e])), 3)
+            r[f"agreement_vs_full_{tag}_windows"] = [
+                round(v, 3) for v in full_a[e]]
         r["seconds"] = round(time.time() - t0, 1)
         print(f"[{name}] {r}", flush=True)
         out["rows"].append(r)

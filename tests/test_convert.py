@@ -53,6 +53,7 @@ def _write_hf_ckpt(d, cfg, rng, family="mistral"):
 
 @pytest.mark.parametrize("family,dtype", [("mistral", "bf16"),
                                           ("mistral", "int8"),
+                                          ("mistral", "int4"),
                                           ("mixtral", "bf16")])
 def test_convert_load_forward(tmp_path, rng, family, dtype):
     cfg = tiny_test_model(n_experts=4 if family == "mixtral" else 1)
@@ -353,3 +354,30 @@ def test_load_dense_cores(tmp_path, rng):
     # truncated loading never attaches mismatched cores
     wt, *_ = load_bucketized(str(dst), percent_load=0.5, load_dense=True)
     assert wt.layers.wq.dense is None
+
+
+def test_int4_row_prefix_roundtrip(tmp_path, rng):
+    """int4 + bucket_size=1 (the production row-prefix layout) through
+    the DISK round-trip: the loader must recover the true out_dim from
+    the nibble-packed vals (stored columns = out/2 — the wordlm-1b
+    ckpt_int4 regression, round 5)."""
+    cfg = tiny_test_model()
+    bcfg = BucketConfig(bucket_size=1, chunk_rows=16, dtype="int4")
+    src, dst = tmp_path / "hf", tmp_path / "b4"
+    src.mkdir()
+    tensors = _write_hf_ckpt(src, cfg, rng)
+    convert_checkpoint(str(src), str(dst), cfg, bcfg,
+                       progress=lambda *a: None)
+    w, cfg2, bcfg2 = load_bucketized(str(dst))
+    names = HF_NAME_MAPS["mistral"]
+    wq_hf = tensors[names["wq"].format(l=0)]
+    assert w.layers.wq.out_dim == wq_hf.shape[0], \
+        (w.layers.wq.out_dim, wq_hf.shape)
+    x = rng.standard_normal(cfg.dim).astype(np.float32)
+    from effort_tpu.ops.bucketmul import bucket_matvec_jnp
+    y = np.asarray(bucket_matvec_jnp(w.layers.wq, jnp.asarray(x), 1.0,
+                                     expert=0))
+    y_dense = x @ wq_hf.T
+    cs = y @ y_dense / (np.linalg.norm(y) * np.linalg.norm(y_dense))
+    assert y.shape == y_dense.shape
+    assert cs > 0.98, cs
