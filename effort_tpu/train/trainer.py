@@ -199,13 +199,24 @@ class TrainConfig:
     # bytes and (with the donated run_chunk buffers) lifts the ceiling to
     # ~1B — the wordlm-1b concentration rung needs this.
     mu_dtype: str = "float32"
+    # Fixed sink token written at position 0 of every training crop
+    # (None = raw crops). Attention-sink tokens are the documented
+    # trigger for massive residual-stream activations ("Massive
+    # Activations in LLMs", Sun et al. 2024) — the concentration the
+    # streaming kernel's speedup feeds on; random mid-document crops
+    # never show the model a sequence start, so without this the sink
+    # mechanism cannot form.
+    bos_id: Optional[int] = None
 
 
-def _sample_batch(corpus, key, batch, seq_len, lo, hi):
+def _sample_batch(corpus, key, batch, seq_len, lo, hi, bos_id=None):
     """Random [batch, seq_len] crops of corpus[lo:hi], cut on device."""
     starts = jax.random.randint(key, (batch,), lo, hi - seq_len - 1)
     idx = starts[:, None] + jnp.arange(seq_len)
-    return jnp.take(corpus, idx, axis=0).astype(jnp.int32)
+    toks = jnp.take(corpus, idx, axis=0).astype(jnp.int32)
+    if bos_id is not None:
+        toks = toks.at[:, 0].set(jnp.int32(bos_id))
+    return toks
 
 
 def train(cfg: ModelConfig, corpus: np.ndarray,
@@ -226,9 +237,10 @@ def train(cfg: ModelConfig, corpus: np.ndarray,
     import optax
     tcfg = tcfg or TrainConfig()
     # honor step counts below one scan chunk (and make history[-1][0]
-    # mean what it says)
+    # mean what it says); warmup cannot exceed the run
     tcfg = dataclasses.replace(
-        tcfg, scan_chunk=max(1, min(tcfg.scan_chunk, tcfg.steps)))
+        tcfg, scan_chunk=max(1, min(tcfg.scan_chunk, tcfg.steps)),
+        warmup=min(tcfg.warmup, max(0, tcfg.steps - 1)))
     corpus_d = jnp.asarray(np.asarray(corpus, np.int32))
     n = int(corpus_d.shape[0])
     split = int(n * (1.0 - tcfg.holdout_frac))
@@ -251,7 +263,8 @@ def train(cfg: ModelConfig, corpus: np.ndarray,
             params, opt_state = carry
             bkey = jax.random.fold_in(key, i)
             toks = _sample_batch(corpus_d, bkey, tcfg.batch,
-                                 tcfg.seq_len, 0, split)
+                                 tcfg.seq_len, 0, split,
+                                 bos_id=tcfg.bos_id)
             loss, grads = jax.value_and_grad(next_token_loss)(
                 params, cfg, toks)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -265,7 +278,7 @@ def train(cfg: ModelConfig, corpus: np.ndarray,
     @jax.jit
     def eval_loss(params, key):
         toks = _sample_batch(corpus_d, key, tcfg.batch, tcfg.seq_len,
-                             split, n)
+                             split, n, bos_id=tcfg.bos_id)
         return next_token_loss(params, cfg, toks)
 
     key = jax.random.key(tcfg.seed + 1)
