@@ -93,3 +93,14 @@ def test_flash_error_bounded_at_scale():
     assert mean_rel < 2e-3, mean_rel
     assert max_std < 0.03, max_std
     assert mean_rel < mean_rel_b, (mean_rel, mean_rel_b)
+
+    # scale-aware worst-case bound (r5, scripts/flash_err_probe.py):
+    # max |err| normalized by per-row output rms is flat across shapes
+    # (0.0200 at both 1024x2048 and 4096x8192 on TPU); elementwise
+    # relative error is unbounded only on near-zero outputs
+    # (cancellation), which is a metric artifact, not accumulation
+    # error — docs/kernels.md "Worst-case element error"
+    o, r = np.asarray(out_f32, np.float64), np.asarray(ref, np.float64)
+    row_rms = np.sqrt((r ** 2).mean(axis=1, keepdims=True))
+    max_abs_over_rms = float((np.abs(o - r) / (row_rms + 1e-30)).max())
+    assert max_abs_over_rms < 0.03, max_abs_over_rms
