@@ -512,8 +512,8 @@ def _trained_ckpt_candidates():
     env = os.environ.get("BENCH_TRAINED_CKPT")
     cands = ([env] if env else []) + [
         os.path.join(ROOT, "runs", d, "ckpt_bf16")
-        for d in ("trained_quality_wordlm", "trained_quality_medium",
-                  "trained_quality")]
+        for d in ("trained_wordlm1b", "trained_quality_wordlm",
+                  "trained_quality_medium", "trained_quality")]
     return [c for c in cands
             if c and os.path.exists(os.path.join(c, "config.json"))]
 
@@ -652,7 +652,11 @@ def phase_trained():
         if os.path.exists(corpus_path):
             corpus = np.load(corpus_path)
             split = int(len(corpus) * 0.98)
-            hold = corpus[split:].astype(int).tolist()
+            # mid-holdout window: large corpora's tail can be
+            # near-memorized (wordlm-1b: 0.13 nats/token), inflating
+            # agreement at every effort
+            off = max(0, (len(corpus) - split - 600) // 3)
+            hold = corpus[split + off:].astype(int).tolist()
     else:
         # fresh checkout (runs/ gitignored): train one in-process,
         # for as long as the phase's real budget allows (reserve covers
