@@ -699,15 +699,25 @@ def phase_trained():
         _emit_partial({"trained_streamed_chunk_frac_25":
                        detail.get("streamed_chunk_frac_25")})
 
-    # ---- flagship coupled operating point: int8 + percent_load 11/16
-    # (the reference's autoAdjustPercent default on small-RAM machines,
-    # loader.swift:316-339), agreement scored vs the FULL bf16 control ----
+    # ---- flagship coupled operating point: quantized buckets +
+    # percent_load 11/16 (the reference's autoAdjustPercent default on
+    # small-RAM machines, loader.swift:316-339), agreement scored vs
+    # the FULL bf16 control. Checkpoint runs prefer int4 (the best
+    # measured coupling on wordlm-1b: 2.18x @25% at 0.88 vs-full —
+    # operating_points_wordlm1b.json); the regen fallback assembles
+    # int8 (cheaper compile in a squeezed phase) ----
     PL = 11 / 16
     w8 = None
-    if int8_dir and os.path.exists(os.path.join(int8_dir, "config.json")):
-        w8full, _, _ = load_bucketized(int8_dir, load_dense=False)
-        w8 = truncate_model(w8full, PL)
-        del w8full
+    op_dtype = "int8"
+    if int8_dir:
+        int4_dir = os.path.join(os.path.dirname(int8_dir), "ckpt_int4")
+        for qdir, dt in ((int4_dir, "int4"), (int8_dir, "int8")):
+            if os.path.exists(os.path.join(qdir, "config.json")):
+                wqfull, _, _ = load_bucketized(qdir, load_dense=False)
+                w8 = truncate_model(wqfull, PL)
+                op_dtype = dt
+                del wqfull
+                break
     elif raw is not None:
         bcfg8 = BucketConfig(bucket_size=1, chunk_rows=min(128, cfg.dim),
                              dtype="int8")
@@ -718,7 +728,7 @@ def phase_trained():
         jax.block_until_ready(jax.tree_util.tree_leaves(w8)[0])
         sp8 = decode_speed_sweep(w8, cfg, efforts=(0.35, 0.25),
                                  include_dense=False)
-        op = {"config": f"int8 percent_load={PL:.3f} tau={_TAU}"}
+        op = {"config": f"{op_dtype} percent_load={PL:.3f} tau={_TAU}"}
         for e in (0.35, 0.25):
             tag = int(e * 100)
             op[f"toks_per_s_{tag}"] = sp8[f"toks_per_s_{tag}"]
@@ -737,16 +747,17 @@ def phase_trained():
                 tag = int(e * 100)
                 op[f"agreement_vs_full_bf16_{tag}"] = round(agr_full[e], 3)
                 op[f"agreement_vs_own_full_{tag}"] = round(agr_self[e], 3)
-        detail["op_int8_pl11_16"] = op
+        detail["op_quant_pl11_16"] = op
+        detail["op_int8_pl11_16"] = op  # legacy key (r4 renderers)
         _emit_partial({"trained_op": dict(op)})
 
-    op = detail.get("op_int8_pl11_16", {})
+    op = detail.get("op_quant_pl11_16", {})
     if "agreement_vs_full_bf16_35" in op:
         value = op["speedup_vs_full_bf16_dense_35"]
         metric = (f"trained-checkpoint ({cfg.name}) flagship operating "
-                  "point: int8+percent_load=11/16 decode speedup at "
-                  "effort=35% vs FULL bf16 dense MXU path, agreement vs "
-                  "full bf16 in detail (1 chip)")
+                  f"point: {op_dtype}+percent_load=11/16 decode speedup "
+                  "at effort=35% vs FULL bf16 dense MXU path, agreement "
+                  "vs full bf16 in detail (1 chip)")
     else:
         value = detail["speedup_vs_dense_25"]
         metric = (f"trained-checkpoint ({cfg.name}) decode speedup at "

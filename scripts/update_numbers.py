@@ -124,7 +124,8 @@ def render_map(num: dict) -> dict:
                          f"{md['model_toks_per_s_100']:.0f} @100%)")
         r["mdl.tok25"] = f"{md['model_toks_per_s_25']:.0f} tok/s @25%"
     if trd:
-        op = trd.get("op_int8_pl11_16", {})
+        op = (trd.get("op_quant_pl11_16")
+              or trd.get("op_int8_pl11_16", {}))
         if "agreement_vs_full_bf16_35" in op:
             # the flagship coupled operating point (VERDICT r4 next #1):
             # speedup AND agreement vs the FULL bf16 model, ONE
@@ -133,7 +134,7 @@ def render_map(num: dict) -> dict:
                 f"**{op['speedup_vs_full_bf16_dense_35']:.2f}x the full "
                 f"bf16 dense path at 35% effort with "
                 f"{op['agreement_vs_full_bf16_35']:.2f} argmax agreement "
-                f"vs the FULL bf16 model** (int8 buckets + 11/16 "
+                f"vs the FULL bf16 model** ({op.get('config', 'quant')}; "
                 f"truncated load on the same trained {trd['model']} "
                 f"checkpoint; @25%: "
                 f"{op['speedup_vs_full_bf16_dense_25']:.2f}x at "
