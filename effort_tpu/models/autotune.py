@@ -22,7 +22,6 @@ Two entry styles:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time

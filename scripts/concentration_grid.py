@@ -56,7 +56,7 @@ def main():
     os.makedirs(D, exist_ok=True)
 
     import dataclasses
-    import jax
+
     import scripts.trained_wordlm as tw
     from scripts.trained_quality_ondevice import params_to_raw, \
         profile_stats

@@ -38,7 +38,6 @@ import argparse
 import glob
 import json
 import os
-import re
 import sys
 import time
 from collections import Counter
