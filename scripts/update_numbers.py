@@ -142,7 +142,8 @@ def render_map(num: dict) -> dict:
                 f"quantization+truncation cost is INSIDE these "
                 f"agreement numbers — driver-captured, BENCH trained "
                 f"phase). Pure bf16 effort on the same weights: "
-                f"{tr['value']:.2f}x @25% with "
+                f"{trd.get('speedup_vs_dense_25', float('nan')):.2f}x "
+                f"@25% with "
                 f"{trd.get('agreement_25', float('nan')):.2f} agreement "
                 f"(streamed-chunk fraction "
                 f"{trd.get('streamed_chunk_frac_25', float('nan')):.2f})")
