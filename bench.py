@@ -607,8 +607,11 @@ def _regen_trained(deadline=None):
     w = assemble_weights(raw, cfg, bcfg, rms_m=rms["rms_m"],
                          rms_f=rms["rms_f"], bake=True, keep_dense=True)
     split = int(len(corpus) * 0.98)
-    hold = corpus[split:].astype(int).tolist()
-    return w, cfg, hold, steps_ran, raw, rms
+    # mid-holdout offset (same reason as the ckpt path: the corpus tail
+    # can be trivially predictable, inflating agreement)
+    off = max(0, (len(corpus) - split - 600) // 3)
+    hold = corpus[split + off:].astype(int).tolist()
+    return w, cfg, hold, steps_ran, raw, rms, float(hist[-1][2])
 
 
 def phase_trained():
@@ -675,8 +678,11 @@ def phase_trained():
         # for as long as the phase's real budget allows (reserve covers
         # calibration + the speed/agreement/operating-point sweeps)
         deadline = t0 + max(60.0, budget - 330.0)
-        w, cfg, hold, steps, raw, rms = _regen_trained(deadline)
-        ckpt_name = f"regenerated-in-bench ({steps} steps, clean tree)"
+        w, cfg, hold, steps, raw, rms, ho_nats = _regen_trained(deadline)
+        ckpt_name = (f"regenerated-in-bench ({steps} steps, holdout "
+                     f"{ho_nats:.2f} nats/token, clean tree; the real "
+                     f"flagship evidence is the committed wordlm-1b "
+                     f"artifacts)")
     jax.block_until_ready(jax.tree_util.tree_leaves(w)[0])
     detail = {"checkpoint": ckpt_name,
               "model": cfg.name, "n_layers": cfg.n_layers,

@@ -120,7 +120,7 @@ def test_regen_trained_builds_measurable_model(monkeypatch, tmp_path):
     emitted = []
     monkeypatch.setattr(bench, "_emit_partial", emitted.append)
 
-    w, cfg, hold, steps, raw, rms = bench._regen_trained()
+    w, cfg, hold, steps, raw, rms, ho_nats = bench._regen_trained()
     # scan_chunk clamps to the step count, so 3 means 3 (ADVICE r4 low)
     assert steps == 3
     assert raw is not None and rms is not None
